@@ -1,0 +1,55 @@
+"""Pinned pipeline configuration.
+
+Mirrors the reference's pinned-config discipline
+(``/root/reference/configs/config_training.json``: seed=42, fixed k values)
+but for hash-based detectors instead of a learned encoder.
+All hash seeds / permutations derive from ``seed`` — no wall-clock, no
+process-dependent randomness, so every stage is deterministic and
+resumable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash (detector 1) ---
+    shingle_k: int = 5          # tokens per shingle (k-shingles over extracted text)
+    num_perm: int = 128         # MinHash permutations (reference-equivalent signature width)
+    bands: int = 32             # LSH bands
+    rows_per_band: int = 4      # bands * rows_per_band == num_perm
+    verify_threshold: float = 0.6   # estimated-Jaccard acceptance on candidate pairs
+
+    # --- SimHash (detector 2: near-identical pages) ---
+    simhash_bits: int = 64
+    simhash_chunks: int = 4         # pigeonhole chunks -> guarantees recall for hamming<=chunks-1
+    simhash_hamming_max: int = 3
+
+    # --- suffix / long-shared-span (detector 3) ---
+    suffix_window: int = 50     # tokens per sampled window
+    suffix_stride: int = 25     # token stride between sampled windows
+    suffix_min_tokens: int = 50
+
+    # --- skew handling ---
+    bucket_cap: int = 5000      # LSH buckets larger than this are capped (logged drop)
+
+    # --- retrieval metrics ---
+    k_values: tuple = (1, 5, 10, 20)
+
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("bands * rows_per_band must equal num_perm")
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — part of every stage checkpoint's lineage."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,138 @@
+"""Deterministic vectorized hashing kernels (numpy/pandas, Arrow-batch side).
+
+These run INSIDE pandas UDFs — the engine's only Python hot path
+(SURVEY.md U3: the reference's batched ``model.encode``,
+``/root/reference/evaluate.py:71-108``, becomes batched signature
+computation). Everything is vectorized over the whole Arrow batch:
+one ``pd.util.hash_array`` call over the concatenated shingles of all
+rows, then segment reductions with ``np.minimum.reduceat`` /
+``np.add.reduceat`` — no per-row Python in the inner loop.
+
+Determinism: pandas' siphash with a pinned 16-byte key + numpy
+``default_rng(seed)`` permutations. Stable across processes/machines
+(no PYTHONHASHSEED dependence), which the checkpoint/resume contract
+requires.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# pd.util.hash_array requires a 16-character key.
+_HASH_KEY = "dupdetect-v1-key"
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_MERSENNE_UNUSED = None  # multiply-shift mod 2^64 is used instead (faster, adequate for MinHash)
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of an object array of strings -> uint64."""
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def minhash_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-shift permutation params; a odd, arithmetic mod 2^64."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Lowercase alnum tokens per row — vectorized pandas str op."""
+    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+
+
+def _segments(token_lists: pd.Series, shingle_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-doc k-shingles into one object array + segment offsets.
+
+    Docs shorter than k tokens contribute a single shingle (the whole doc);
+    empty docs contribute the empty-string shingle so every segment is
+    non-empty (reduceat requirement) and every doc gets a signature.
+    """
+    shingles: list[str] = []
+    counts = np.empty(len(token_lists), dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        n = len(toks)
+        if n >= shingle_k:
+            start = len(shingles)
+            shingles.extend(" ".join(toks[j : j + shingle_k]) for j in range(n - shingle_k + 1))
+            counts[i] = len(shingles) - start
+        elif n:
+            shingles.append(" ".join(toks))
+            counts[i] = 1
+        else:
+            shingles.append("")
+            counts[i] = 1
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=offsets[1:])
+    return np.asarray(shingles, dtype=object), offsets
+
+
+def minhash_signatures(
+    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) int64 MinHash signature matrix for a batch of texts."""
+    token_lists = tokenize_series(texts)
+    if len(token_lists) == 0:
+        return np.empty((0, len(a)), dtype=np.int64)
+    flat, offsets = _segments(token_lists, shingle_k)
+    h = hash64(flat)
+    num_perm = len(a)
+    sig = np.empty((len(token_lists), num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            hv = a[j] * h + b[j]  # wraps mod 2^64 (multiply-shift family)
+            sig[:, j] = np.minimum.reduceat(hv, offsets)
+    return sig.view(np.int64)
+
+
+def shingle_set(text: str, shingle_k: int) -> set:
+    """Reference-style eager shingle set for one doc (test oracle / verify)."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if len(toks) >= shingle_k:
+        return {" ".join(toks[j : j + shingle_k]) for j in range(len(toks) - shingle_k + 1)}
+    return {" ".join(toks)} if toks else {""}
+
+
+def simhash_signatures(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash per doc (int64 view), vectorized over the batch.
+
+    Token hash bits vote +1/-1 per position; sign of the per-doc sum
+    gives the signature bit.
+    """
+    token_lists = tokenize_series(texts)
+    n = len(token_lists)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    flat: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        if toks:
+            flat.extend(toks)
+            counts[i] = len(toks)
+        else:
+            flat.append("")
+            counts[i] = 1
+    offsets = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(counts[:-1], out=offsets[1:])
+    h = hash64(np.asarray(flat, dtype=object))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+    bits = bits * 2 - 1  # +1/-1 votes
+    sums = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)  # (n, 64)
+    sig = ((sums > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return sig.view(np.int64)
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")

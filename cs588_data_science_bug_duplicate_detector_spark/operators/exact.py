@@ -1,0 +1,36 @@
+"""Exact-duplicate detection: hash-groupBy, star edges to the min member.
+
+The cheap pre-pass: identical text collapses via one md5 groupBy instead
+of flowing through LSH. Emits (min_member -> other) star edges that union
+into the connected-components input, so exact-dup clusters compose with
+near-dup clusters sharing members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def text_hash_col(text_col: str):
+    return F.md5(F.col(text_col).cast("binary"))
+
+
+def exact_dup_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    h = docs.select(F.col(id_col).alias("id"), text_hash_col(text_col).alias("h"))
+    roots = h.groupBy("h").agg(F.min("id").alias("root"), F.count("*").alias("n"))
+    return (
+        h.join(roots.where(F.col("n") > 1), "h")
+        .where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, n_copies, canonical_id) for groups with >1 copy."""
+    h = docs.select(F.col(id_col).alias("id"), text_hash_col(text_col).alias("text_hash"))
+    return (
+        h.groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("id").alias("canonical_id"))
+        .where(F.col("n_copies") > 1)
+    )

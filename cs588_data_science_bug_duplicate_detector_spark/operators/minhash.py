@@ -1,0 +1,147 @@
+"""MinHash signatures + LSH banding + candidate-pair generation.
+
+Replaces the reference's dense all-pairs similarity join
+(``/root/reference/src/metrics.py:259-280`` — a matmul that cannot survive
+10^12 docs) with: vectorized signature UDF -> band explode -> bucket
+equi-join -> estimated-Jaccard verify. The similarity matrix is never
+materialized (SURVEY.md J1).
+
+Scale notes:
+- signatures: one Arrow-batched pandas UDF, numpy segment reductions
+  (functions/hashing.py) — the only Python hot path.
+- banding: pure column exprs (slice + xxhash64), whole-stage codegen.
+- bucket join: explicit repartition on (band_id, band_hash); hot buckets
+  (boilerplate farms) are capped at cfg.bucket_cap with the drop LOGGED
+  (a capped bucket of size c still yields c-1 star edges via its min
+  member, so connectivity inside the bucket is preserved while the
+  O(c^2) pair blowup is not).
+- verify: estimated Jaccard from signature agreement — needs only the two
+  128-slot signatures, no re-tokenization shuffle of full text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..config import DedupConfig
+from ..functions import hashing
+
+
+def minhash_udf(cfg: DedupConfig):
+    shingle_k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.seed
+
+    def _minhash_batch(texts: pd.Series) -> pd.Series:
+        a, b = hashing.minhash_perms(num_perm, seed)
+        sig = hashing.minhash_signatures(texts, shingle_k, a, b)
+        return pd.Series(list(sig))
+
+    return pandas_udf(_minhash_batch, ArrayType(LongType()))
+
+
+def with_minhash(df: DataFrame, text_col: str, cfg: DedupConfig, out_col: str = "minhash") -> DataFrame:
+    return df.withColumn(out_col, minhash_udf(cfg)(F.col(text_col)))
+
+
+def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash") -> DataFrame:
+    """(id, band_id, band_hash): one row per band per doc, JVM-side only."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_id"),
+            F.xxhash64(
+                F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band)
+            ).alias("band_hash"),
+        ),
+    )
+    return (
+        sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("b"))
+        .select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def capped_buckets(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """Split band table into (within-cap rows, hot-bucket summary).
+
+    Hot buckets are NOT silently dropped: the summary (band_id, band_hash,
+    bucket_size) is returned for metrics/lineage, and callers keep intra-
+    bucket connectivity via ``hot_bucket_star_edges``.
+    """
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
+    ok = bands.join(
+        F.broadcast(hot.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+    return ok, hot
+
+
+def hot_bucket_star_edges(bands: DataFrame, hot: DataFrame) -> DataFrame:
+    """min-member star edges inside each capped bucket (keeps connectivity
+    linear in bucket size instead of quadratic)."""
+    members = bands.join(F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"])
+    roots = members.groupBy("band_id", "band_hash").agg(F.min("id").alias("root"))
+    return (
+        members.join(roots, ["band_id", "band_hash"])
+        .where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig, num_partitions: int | None = None) -> DataFrame:
+    """Bucket equi-join -> distinct (src < dst) candidate pairs."""
+    if num_partitions:
+        bands = bands.repartition(num_partitions, "band_id", "band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+
+
+def estimated_jaccard_col(sig_a, sig_b, num_perm: int):
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfig,
+                 sig_col: str = "minhash") -> DataFrame:
+    """Attach estimated Jaccard; keep pairs >= cfg.verify_threshold."""
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    scored = (
+        pairs.join(s.withColumnRenamed("sig", "sig_a"), pairs.src == s.id)
+        .drop("id")
+        .join(s.withColumnRenamed("sig", "sig_b"), pairs.dst == F.col("id"))
+        .drop("id")
+        .withColumn("est_jaccard", estimated_jaccard_col(F.col("sig_a"), F.col("sig_b"), cfg.num_perm))
+        .select("src", "dst", "est_jaccard")
+    )
+    return scored.where(F.col("est_jaccard") >= cfg.verify_threshold)
+
+
+def minhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                  num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Full detector-1 dataflow: docs -> verified candidate edges.
+
+    Returns (edges(src,dst), hot_bucket_summary). Edges include min-member
+    star edges for capped hot buckets, so recall survives the cap.
+    """
+    sigs = with_minhash(docs.select(id_col, text_col), text_col, cfg)
+    bands = band_table(sigs, id_col, cfg)
+    ok, hot = capped_buckets(bands, cfg)
+    pairs = candidate_pairs(ok, cfg, num_partitions)
+    verified = verify_pairs(pairs, sigs, id_col, cfg).select("src", "dst")
+    star = hot_bucket_star_edges(bands, hot).select("src", "dst")
+    return verified.unionByName(star).distinct(), hot

@@ -1,0 +1,67 @@
+"""64-bit SimHash + Hamming-neighborhood candidate generation.
+
+Detector 2 (north_star): near-identical pages (tiny body diffs on a huge
+shared template). Candidate generation uses the pigeonhole principle:
+split the 64-bit signature into ``cfg.simhash_chunks`` equal chunks; any
+pair within Hamming distance <= chunks-1 must agree on at least one chunk,
+so an equi-join per chunk has perfect recall for the target radius.
+Verification is a JVM-side popcount on XOR — no Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..config import DedupConfig
+from ..functions import hashing
+
+
+@pandas_udf(LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(hashing.simhash_signatures(texts))
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, _simhash_udf(F.col(text_col)))
+
+
+def chunk_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "simhash") -> DataFrame:
+    """(id, chunk_id, chunk_val) — one row per 16-bit chunk per doc."""
+    width = cfg.simhash_bits // cfg.simhash_chunks
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            )
+            for i in range(cfg.simhash_chunks)
+        ]
+    )
+    return (
+        sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), F.explode(chunks).alias("c"))
+        .select("id", "sig", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val"))
+    )
+
+
+def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                  num_partitions: int | None = None) -> DataFrame:
+    """docs -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst)."""
+    sigs = with_simhash(docs.select(id_col, text_col), text_col)
+    chunks = chunk_table(sigs, id_col, cfg)
+    if num_partitions:
+        chunks = chunks.repartition(num_partitions, "chunk_id", "chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.expr("bit_count(a.sig ^ b.sig)")
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(ham <= F.lit(cfg.simhash_hamming_max))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100TB design point, scaled down to local mode:
+AQE on (runtime re-plan + skew-join splitting + partition coalescing),
+Arrow for every JVM<->Python boundary, explicit shuffle-partition sizing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dupdetect",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        # ~2x task slots: enough parallelism without tiny-partition overhead
+        # (a real cluster submit would set this per executor count).
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Reliable checkpoint dir: used to truncate lineage in the iterative
+    # connected-components loop (SURVEY.md §4 "iterative-plan truncation").
+    ckpt = os.path.join(tempfile.gettempdir(), "dupdetect-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

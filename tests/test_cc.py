@@ -1,0 +1,55 @@
+"""Connected components vs the union-find oracle on adversarial graph shapes
+(FIXTURES.md §3): path, star, bridged cliques, self-loops, duplicate and
+reversed edges, isolated vertices."""
+
+import pytest
+
+from cs588_data_science_bug_duplicate_detector_spark.operators.cc import (
+    connected_components,
+    union_find_oracle,
+)
+
+SHAPES = {
+    "path": [(i, i + 1) for i in range(1, 12)],
+    "star": [(1, i) for i in range(2, 15)],
+    "reversed_star": [(i, 1) for i in range(2, 15)],
+    "two_cliques_bridged": (
+        [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+        + [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+        + [(5, 10)]
+    ),
+    "self_loops_and_dups": [(1, 1), (2, 3), (3, 2), (2, 3), (4, 4)],
+    "two_paths": [(1, 2), (2, 3), (10, 11), (11, 12)],
+    "long_path": [(i, i + 1) for i in range(1, 60)],
+}
+
+
+def _labels_from_spark(spark, edges, vertices):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    return {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e, vertices=v).collect()
+    }
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_cc_matches_union_find(spark, shape):
+    edges = SHAPES[shape]
+    vertices = sorted({x for e in edges for x in e} | {999})  # 999 isolated
+    got = _labels_from_spark(spark, edges, vertices)
+    oracle = union_find_oracle(edges, vertices)
+    assert got == oracle
+    assert got[999] == 999  # isolated vertex is its own singleton cluster
+
+
+def test_cc_min_member_convention(spark):
+    got = _labels_from_spark(spark, [(7, 3), (3, 9)], [3, 7, 9])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_cc_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(e, vertices=v).collect()}
+    assert got == {1: 1, 2: 2}

@@ -1,0 +1,92 @@
+"""Unit tests for the vectorized hashing kernels against eager oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cs588_data_science_bug_duplicate_detector_spark.functions import hashing
+
+
+def _texts():
+    return pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "",
+            "short",
+            "completely different content about spark dataframes and shuffles",
+        ]
+    )
+
+
+def test_hash64_deterministic():
+    a = hashing.hash64(np.array(["abc", "def"], dtype=object))
+    b = hashing.hash64(np.array(["abc", "def"], dtype=object))
+    assert np.array_equal(a, b)
+    assert a.dtype == np.uint64
+    assert a[0] != a[1]
+
+
+def test_minhash_matches_per_doc_oracle():
+    """Batched segment-reduce signatures == naive per-doc min over perms."""
+    a, b = hashing.minhash_perms(32, 42)
+    texts = _texts()
+    sig = hashing.minhash_signatures(texts, 3, a, b)
+    assert sig.shape == (len(texts), 32)
+    for i, t in enumerate(texts):
+        sh = sorted(hashing.shingle_set(t, 3))
+        h = hashing.hash64(np.array(sh, dtype=object))
+        with np.errstate(over="ignore"):
+            expect = np.array(
+                [np.min(a[j] * h + b[j]) for j in range(32)], dtype=np.uint64
+            ).view(np.int64)
+        assert np.array_equal(sig[i], expect), f"doc {i}"
+
+
+def test_minhash_estimates_jaccard():
+    a, b = hashing.minhash_perms(256, 42)
+    texts = _texts()
+    sig = hashing.minhash_signatures(texts, 3, a, b)
+    s0, s1 = hashing.shingle_set(texts[0], 3), hashing.shingle_set(texts[1], 3)
+    true_j = len(s0 & s1) / len(s0 | s1)
+    est_j = (sig[0] == sig[1]).mean()
+    assert abs(est_j - true_j) < 0.12
+    # unrelated docs ~ 0
+    assert (sig[0] == sig[4]).mean() < 0.1
+
+
+def test_minhash_exact_dup_identical_signature():
+    a, b = hashing.minhash_perms(64, 42)
+    sig = hashing.minhash_signatures(pd.Series(["same text here okay", "same text here okay"]), 3, a, b)
+    assert np.array_equal(sig[0], sig[1])
+
+
+def test_simhash_near_identical_low_hamming():
+    texts = pd.Series(
+        [
+            " ".join(f"tok{i}" for i in range(200)),
+            " ".join(f"tok{i}" if i != 100 else "CHANGED" for i in range(200)),
+            " ".join(f"other{i}" for i in range(200)),
+        ]
+    )
+    sig = hashing.simhash_signatures(texts)
+    near = hashing.hamming64(int(sig[0]), int(sig[1]))
+    far = hashing.hamming64(int(sig[0]), int(sig[2]))
+    assert near <= 3
+    assert far > 10
+
+
+def test_simhash_batch_matches_single():
+    texts = _texts()
+    batch = hashing.simhash_signatures(texts)
+    for i, t in enumerate(texts):
+        single = hashing.simhash_signatures(pd.Series([t]))
+        assert single[0] == batch[i]
+
+
+def test_empty_and_edge_inputs():
+    a, b = hashing.minhash_perms(16, 42)
+    assert hashing.minhash_signatures(pd.Series([], dtype=object), 5, a, b).shape == (0, 16)
+    assert hashing.simhash_signatures(pd.Series([], dtype=object)).shape == (0,)
+    sig = hashing.minhash_signatures(pd.Series([None, ""]), 5, a, b)
+    assert np.array_equal(sig[0], sig[1])  # null == empty text
