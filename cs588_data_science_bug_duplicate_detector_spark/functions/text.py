@@ -24,8 +24,14 @@ STOPWORDS = {
 }
 
 
+def _strip(c: Column) -> Column:
+    # Python str.strip() semantics: all whitespace, not just spaces
+    # (Spark's trim() only removes ' ').
+    return F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+
+
 def _nonblank(c: Column) -> Column:
-    return c.isNotNull() & (F.trim(c.cast("string")) != "")
+    return c.isNotNull() & (_strip(c) != "")
 
 
 def tagged_concat(pairs: list[tuple[str, str]]) -> Column:
@@ -39,7 +45,7 @@ def tagged_concat(pairs: list[tuple[str, str]]) -> Column:
     parts = [
         F.when(
             _nonblank(F.col(col)),
-            F.concat(F.lit(f"[{tag}] "), F.trim(F.col(col).cast("string"))),
+            F.concat(F.lit(f"[{tag}] "), _strip(F.col(col))),
         )
         for tag, col in pairs
     ]
@@ -49,9 +55,11 @@ def tagged_concat(pairs: list[tuple[str, str]]) -> Column:
 def parse_id_list(c: Column | str) -> Column:
     """';'-separated id-list string -> array<long> (distinct, NULL-token dropped)."""
     col = F.col(c) if isinstance(c, str) else c
-    toks = F.transform(F.split(F.coalesce(col.cast("string"), F.lit("")), ";"), F.trim)
+    # NB: one-arg lambda, not bare F.trim — transform() would pass (elem, idx)
+    # to a two-parameter callable and trim() treats the 2nd arg as a char set.
+    toks = F.transform(F.split(F.coalesce(col.cast("string"), F.lit("")), ";"), lambda x: F.trim(x))
     toks = F.filter(toks, lambda x: (x != "") & (F.upper(x) != "NULL"))
-    ids = F.transform(toks, lambda x: x.cast("long"))
+    ids = F.transform(toks, lambda x: x.try_cast("long"))  # ANSI-safe: bad tokens -> NULL
     ids = F.filter(ids, lambda x: x.isNotNull())
     return F.array_distinct(ids)
 

@@ -1,0 +1,82 @@
+"""Retrieval-quality metric kernels as one DataFrame program.
+
+Same semantics as the reference's per-query Python loop
+(``/root/reference/src/metrics.py:33-113,176-217``), re-expressed as
+window functions + aggregations (SURVEY.md W1-W5, M1-M4):
+
+- ranking: score desc, cand_id asc tie-break (deterministic)
+- Recall@k: 1.0 iff any relevant candidate in the top-k (hit rate)
+- MRR: 1/rank of first relevant over the FULL ranking, 0 if none
+- AP@k: sum of precision-at-hit positions within top-k, divided by the
+  TOTAL number of relevant candidates for the query (metrics.py:101-113)
+- queries with zero relevant candidates are dropped from all means
+  (metrics.py:187-189)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked_candidates(pairs: DataFrame) -> DataFrame:
+    """pairs(query_id, cand_id, score, is_dup) -> + rank, cum_hits, n_rel.
+
+    Dup-less queries are dropped (inner join against the relevant counts).
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    n_rel = (
+        pairs.groupBy("query_id")
+        .agg(F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_rel"))
+        .where(F.col("n_rel") > 0)
+    )
+    hit = F.when(F.col("is_dup"), 1).otherwise(0)
+    return (
+        pairs.join(n_rel, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_hits", F.sum(hit).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+
+
+def retrieval_metrics(pairs: DataFrame, k_values: tuple = (1, 5, 10, 20)) -> DataFrame:
+    """One row per k: (k, recall_at_k, map_at_k, mrr, num_queries)."""
+    r = ranked_candidates(pairs)
+    per_query = r.groupBy("query_id").agg(
+        F.max(F.when(F.col("is_dup"), 1.0 / F.col("rank")).otherwise(0.0)).alias("rr"),
+        F.first("n_rel").alias("n_rel"),
+        *[
+            F.max(
+                F.when(F.col("is_dup") & (F.col("rank") <= k), 1.0).otherwise(0.0)
+            ).alias(f"hit_{k}")
+            for k in k_values
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("is_dup") & (F.col("rank") <= k),
+                    F.col("cum_hits").cast("double") / F.col("rank"),
+                ).otherwise(0.0)
+            ).alias(f"psum_{k}")
+            for k in k_values
+        ],
+    )
+    rows = None
+    for k in k_values:
+        agg = per_query.agg(
+            F.lit(k).alias("k"),
+            F.avg(f"hit_{k}").alias("recall_at_k"),
+            F.avg(F.col(f"psum_{k}") / F.col("n_rel")).alias("map_at_k"),
+            F.avg("rr").alias("mrr"),
+            F.count("*").alias("num_queries"),
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows
+
+
+def relevance_pairs(labels: DataFrame, id_col: str = "id", cluster_col: str = "cluster_id") -> DataFrame:
+    """Self equi-join on cluster id, excluding self-pairs (SURVEY.md J2/P6
+    ≙ /root/reference/src/metrics.py:180-200): the ground-truth relevant
+    set for each query doc."""
+    a = labels.select(F.col(id_col).alias("query_id"), F.col(cluster_col).alias("c"))
+    b = labels.select(F.col(id_col).alias("cand_id"), F.col(cluster_col).alias("c"))
+    return a.join(b, "c").where(F.col("query_id") != F.col("cand_id")).drop("c")

@@ -131,17 +131,23 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfi
     return scored.where(F.col("est_jaccard") >= cfg.verify_threshold)
 
 
-def minhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
-                  num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
-    """Full detector-1 dataflow: docs -> verified candidate edges.
+def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
+                            num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """sigs(id, minhash) -> (verified edges(src,dst), hot_bucket_summary).
 
-    Returns (edges(src,dst), hot_bucket_summary). Edges include min-member
-    star edges for capped hot buckets, so recall survives the cap.
+    Edges include min-member star edges for capped hot buckets, so recall
+    survives the cap.
     """
-    sigs = with_minhash(docs.select(id_col, text_col), text_col, cfg)
     bands = band_table(sigs, id_col, cfg)
     ok, hot = capped_buckets(bands, cfg)
     pairs = candidate_pairs(ok, cfg, num_partitions)
     verified = verify_pairs(pairs, sigs, id_col, cfg).select("src", "dst")
     star = hot_bucket_star_edges(bands, hot).select("src", "dst")
     return verified.unionByName(star).distinct(), hot
+
+
+def minhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                  num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Full detector-1 dataflow: docs -> verified candidate edges."""
+    sigs = with_minhash(docs.select(id_col, text_col), text_col, cfg)
+    return minhash_edges_from_sigs(sigs, id_col, cfg, num_partitions)

@@ -48,10 +48,9 @@ def chunk_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "
     )
 
 
-def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
-                  num_partitions: int | None = None) -> DataFrame:
-    """docs -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst)."""
-    sigs = with_simhash(docs.select(id_col, text_col), text_col)
+def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
+                            num_partitions: int | None = None) -> DataFrame:
+    """sigs(id, simhash) -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst)."""
     chunks = chunk_table(sigs, id_col, cfg)
     if num_partitions:
         chunks = chunks.repartition(num_partitions, "chunk_id", "chunk_val")
@@ -65,3 +64,10 @@ def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .distinct()
     )
+
+
+def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                  num_partitions: int | None = None) -> DataFrame:
+    """docs -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst)."""
+    sigs = with_simhash(docs.select(id_col, text_col), text_col)
+    return simhash_edges_from_sigs(sigs, id_col, cfg, num_partitions)

@@ -1,0 +1,74 @@
+"""Long-shared-span (substring) dedup via content-defined window anchors.
+
+Detector 3 (north_star "suffix-array substring dedup"). A literal
+distributed suffix array over 10^12 docs is a full global sort of every
+suffix; the same SEMANTICS — "find pairs of documents sharing a verbatim
+span of >= W tokens" — is reachable with winnowing-style anchors:
+
+1. per token position, hash the ``anchor_k``-token gram starting there;
+2. positions whose gram-hash ≡ 0 (mod anchor_mod) are anchors —
+   CONTENT-defined, so the same text selects the same anchors no matter
+   where it sits inside a document (offset-independent, unlike strided
+   sampling);
+3. at each anchor, hash the ``suffix_window``-token window; two documents
+   sharing a window hash share a verbatim W-token span (hash collision
+   odds negligible at 64 bits);
+4. group by window hash -> min-member star edges (linear in group size —
+   a boilerplate span shared by 10^6 docs must not emit 10^12 pairs).
+
+Any shared span of length >= W + anchor_k * anchor_mod contains an anchor
+with high probability; spans exactly W long can be missed between anchors
+(documented recall trade; tighten anchor_mod to trade cost for recall).
+
+Everything is pure column expressions (transform/filter/slice/xxhash64)
+inside whole-stage codegen — no Python at all in this detector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..functions.text import tokens
+
+ANCHOR_K = 8      # tokens per anchor gram
+ANCHOR_MOD = 4    # ~1/4 of positions become anchors
+MAX_WINDOWS_PER_DOC = 512  # cap: bounds cost on pathological megadocs (logged)
+
+
+def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """(id, win_hash) for every content-defined anchor window in every doc."""
+    toks = tokens(text_col)
+    df = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= cfg.suffix_min_tokens)
+    )
+    last_start = F.col("n") - F.lit(cfg.suffix_window)  # inclusive 0-based
+    anchor_hash = lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, ANCHOR_K)))
+    positions = F.filter(
+        F.sequence(F.lit(0), last_start),
+        lambda i: F.pmod(anchor_hash(i), F.lit(ANCHOR_MOD)) == 0,
+    )
+    positions = F.slice(positions, 1, MAX_WINDOWS_PER_DOC)
+    win_hash = F.xxhash64(
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, cfg.suffix_window))
+    )
+    return (
+        df.select("id", "toks", F.explode(positions).alias("pos"))
+        .select("id", win_hash.alias("win_hash"))
+        .distinct()
+    )
+
+
+def suffix_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """docs -> (src, dst) star edges between documents sharing a >=W-token span."""
+    wins = window_table(docs, id_col, text_col, cfg)
+    roots = wins.groupBy("win_hash").agg(F.min("id").alias("root"), F.count("*").alias("n"))
+    return (
+        wins.join(roots.where(F.col("n") > 1), "win_hash")
+        .where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )

@@ -1,0 +1,107 @@
+"""Pipeline integration: checkpoint/resume contract + byte-identity invariant."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.datagen import generate_pages
+from cs588_data_science_bug_duplicate_detector_spark.functions.extract import with_extracted_text
+from cs588_data_science_bug_duplicate_detector_spark.plans.pipeline import run_pipeline
+
+
+def _label_map(labels):
+    return {r["url"]: r["cluster_id"] for r in labels.collect()}
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pages, truth, spans = generate_pages(spark, 250, seed=42)
+    return pages.cache(), truth, spans
+
+
+def test_pipeline_end_to_end_and_resume(spark, pages, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pipe"))
+    pages_df, truth, _ = pages
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    lab1 = _label_map(run1.labels)
+    assert len(lab1) == pages_df.count()
+    assert all(not s["resumed"] for s in run1.stats["stages"].values())
+
+    # full resume: every stage skipped, identical labels
+    run2 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    assert all(s["resumed"] for s in run2.stats["stages"].values())
+    assert _label_map(run2.labels) == lab1
+
+    # truth recall through the pipeline surface (url-keyed)
+    truth_pairs = set()
+    by_cluster = {}
+    for r in truth.collect():
+        by_cluster.setdefault(r["true_cluster_id"], []).append(r["url"])
+    for members in by_cluster.values():
+        members.sort()
+        truth_pairs.update(
+            (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+        )
+    pred_by_cluster = {}
+    for u, c in lab1.items():
+        pred_by_cluster.setdefault(c, []).append(u)
+    pred_pairs = set()
+    for members in pred_by_cluster.values():
+        members.sort()
+        pred_pairs.update(
+            (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+        )
+    recall = len(truth_pairs & pred_pairs) / len(truth_pairs)
+    assert recall >= 0.99
+
+
+def test_pipeline_mid_resume_recomputes_only_tail(spark, pages, tmp_path_factory):
+    """Kill-and-rerun (north_rule): drop the final checkpoint; earlier stages
+    resume, the tail recomputes, labels identical."""
+    import shutil
+    import os
+
+    wd = str(tmp_path_factory.mktemp("pipe_mid"))
+    pages_df, _, _ = pages
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    lab1 = _label_map(run1.labels)
+
+    shutil.rmtree(os.path.join(wd, "component_labels"))
+    run2 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    assert run2.stats["stages"]["documents"]["resumed"]
+    assert run2.stats["stages"]["candidate_edges"]["resumed"]
+    assert not run2.stats["stages"]["component_labels"]["resumed"]
+    assert _label_map(run2.labels) == lab1
+
+
+def test_config_change_invalidates_checkpoints(spark, pages, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("pipe_cfg"))
+    pages_df, _, _ = pages
+    run_pipeline(spark, pages_df, wd, DedupConfig())
+    run2 = run_pipeline(spark, pages_df, wd, DedupConfig(bands=16, rows_per_band=8))
+    assert not run2.stats["stages"]["documents"]["resumed"]
+
+
+def test_extraction_byte_identity(spark, pages):
+    """input_hint invariant: text extracted from html is byte-identical to the
+    stored text column, per url, and stable across re-extraction."""
+    pages_df, _, _ = pages
+    ext = with_extracted_text(pages_df.drop("text"), "html", "text")
+    joined = (
+        ext.select("url", F.col("text").alias("extracted"))
+        .join(pages_df.select("url", "text"), "url")
+        .withColumn(
+            "match", F.sha2(F.col("extracted"), 256) == F.sha2(F.col("text"), 256)
+        )
+    )
+    n_bad = joined.where(~F.col("match")).count()
+    assert n_bad == 0
+    # determinism across runs
+    h1 = sorted(
+        ext.select(F.sha2("text", 256).alias("h")).collect()
+    )
+    ext2 = with_extracted_text(pages_df.drop("text"), "html", "text")
+    h2 = sorted(ext2.select(F.sha2("text", 256).alias("h")).collect())
+    assert h1 == h2
