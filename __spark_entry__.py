@@ -1,38 +1,387 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup clustering on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query. Non-SQL-expressible ops (hash-signature detectors,
+connected components) are rows-only checked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.functions.text import (
+    STOPWORDS,
+    language_guess,
+    token_count,
+)
+from cs588_data_science_bug_duplicate_detector_spark.operators import exact as exact_ops
+from cs588_data_science_bug_duplicate_detector_spark.operators.ann import brute_force_topk
+from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
+from cs588_data_science_bug_duplicate_detector_spark.operators.metrics import retrieval_metrics
+from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
+from cs588_data_science_bug_duplicate_detector_spark.operators.ngram import ngram_jaccard_pairs
+from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges
+from cs588_data_science_bug_duplicate_detector_spark.operators.suffix import suffix_edges
+
+CFG = DedupConfig()
+K_VALUES = (1, 5, 10, 20)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: near-dup clustering (exact + minhash detectors -> CC labels)
+# ---------------------------------------------------------------------------
+
+def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mh, _hot = minhash_edges(docs, "doc_id", "text", CFG)
+    edges = mh.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text")).distinct()
+    return (
+        connected_components(edges, vertices=docs.select("doc_id"))
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _dedup_labels(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    g = exact_ops.exact_dup_groups(docs, "doc_id", "text")
+    return g.select(
+        "text_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def q_active_customers_by_nation(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal-exact aggregation (order-independent), surfaced as double
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def _retrieval_pairs(docs):
+    a = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("n_chars").alias("chars_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("chars_b"),
+    )
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("query_id") != F.col("cand_id")))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("chars_a") - F.col("chars_b")))).alias("score"),
+            (F.col("source_a") == F.col("source_b")).alias("is_dup"),
+        )
+    )
+
+
+def q_retrieval_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = retrieval_metrics(_retrieval_pairs(docs), K_VALUES)
+    return m.select(
+        F.col("k").cast("long").alias("k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("map_at_k", 6).alias("map_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.col("num_queries").cast("long").alias("num_queries"),
+    )
+
+
+def q_lang_guess_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("guessed_lang", language_guess("text"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1, group_col="lang")
+    return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    topk = brute_force_topk(emb, "vec_id", "embedding", k=3, queries=queries)
+    return topk.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
+# --- rows-only (non-SQL-expressible: hash detectors + iterative CC) --------
+
+def q_minhash_clusters(spark, sf_dir):
+    return _dedup_labels(spark, sf_dir)
+
+
+def q_simhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_edges(docs, "doc_id", "text", CFG).orderBy("src", "dst")
+
+
+def q_suffix_span_edges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return suffix_edges(docs, "doc_id", "text", CFG).orderBy("src", "dst")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "active_customers_by_nation": q_active_customers_by_nation,
+        "pricing_summary": q_pricing_summary,
+        "events_hourly": q_events_hourly,
+        "retrieval_metrics": q_retrieval_metrics,
+        "lang_guess_counts": q_lang_guess_counts,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_knn": q_embedding_knn,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_candidates": q_simhash_candidates,
+        "suffix_span_edges": q_suffix_span_edges,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, x -> list_contains([{words}], x)))"
+
+
+_LANG_GUESS_SQL = f"""
+SELECT lang, guessed_lang, COUNT(*) AS n_docs FROM (
+  SELECT lang,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         ELSE 'de' END AS guessed_lang
+  FROM (
+    SELECT lang,
+      {_stopword_hits_sql('de')} AS h_de,
+      {_stopword_hits_sql('en')} AS h_en,
+      {_stopword_hits_sql('es')} AS h_es,
+      {_stopword_hits_sql('fr')} AS h_fr
+    FROM documents
+  )
+) GROUP BY lang, guessed_lang
+"""
+
+_RETRIEVAL_SQL = """
+WITH pairs AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+         1.0 / (1.0 + abs(a.n_chars - b.n_chars)) AS score,
+         (a.source = b.source) AS is_dup
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+), nrel AS (
+  SELECT query_id, SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_rel
+  FROM pairs GROUP BY query_id HAVING SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) > 0
+), ranked AS (
+  SELECT p.*, n.n_rel,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY p.score DESC, p.cand_id ASC) AS rnk,
+         SUM(CASE WHEN p.is_dup THEN 1 ELSE 0 END) OVER (
+           PARTITION BY p.query_id ORDER BY p.score DESC, p.cand_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+  FROM pairs p JOIN nrel n USING (query_id)
+), per_query AS (
+  SELECT query_id,
+         MAX(CASE WHEN is_dup THEN 1.0 / rnk ELSE 0.0 END) AS rr,
+         MAX(n_rel) AS n_rel,
+         {hit_cols},
+         {psum_cols}
+  FROM ranked GROUP BY query_id
+)
+{unions}
+"""
+
+
+def _retrieval_oracle_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"MAX(CASE WHEN is_dup AND rnk <= {k} THEN 1.0 ELSE 0.0 END) AS hit_{k}"
+        for k in K_VALUES
+    )
+    psum_cols = ",\n         ".join(
+        f"SUM(CASE WHEN is_dup AND rnk <= {k} THEN CAST(cum_hits AS DOUBLE) / rnk ELSE 0.0 END) AS psum_{k}"
+        for k in K_VALUES
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, ROUND(AVG(hit_{k}), 6) AS recall_at_k,"
+        f" ROUND(AVG(psum_{k} / n_rel), 6) AS map_at_k, ROUND(AVG(rr), 6) AS mrr,"
+        f" COUNT(*) AS num_queries FROM per_query"
+        for k in K_VALUES
+    )
+    return _RETRIEVAL_SQL.format(hit_cols=hit_cols, psum_cols=psum_cols, unions=unions)
+
+
+_NGRAM_SQL = """
+WITH grams AS (
+  SELECT doc_id, lang, g, len(gs) AS n_grams FROM (
+    SELECT doc_id, lang,
+           list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS gs
+    FROM (SELECT doc_id, lang, {tokens} AS t FROM documents)
+  ), UNNEST(gs) AS u(g)
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS n_inter,
+         MIN(a.n_grams) AS na, MIN(b.n_grams) AS nb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT src, dst,
+       ROUND(CAST(n_inter AS DOUBLE) / (na + nb - n_inter), 6) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
+""".format(tokens=_TOKENS_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_tok), 4) AS avg_tokens,
+                   CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM (SELECT lang, n_chars, len({_TOKENS_SQL}) AS n_tok FROM documents)
+            GROUP BY lang
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents
+            ) WHERE rnk <= 5
+        """,
+        "active_customers_by_nation": """
+            SELECT n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-12-31 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "retrieval_metrics": _retrieval_oracle_sql(),
+        "lang_guess_counts": _LANG_GUESS_SQL,
+        "ngram_jaccard_pairs": _NGRAM_SQL,
+        "embedding_knn": """
+            SELECT query_id, rnk, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC,
+                       b.vec_id ASC) AS rnk
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE a.vec_id < 50
+            ) WHERE rnk <= 3
+        """,
+        # minhash_clusters / simhash_candidates / suffix_span_edges:
+        # hash-signature + iterative-CC ops, not SQL-expressible -> rows-only.
+    }

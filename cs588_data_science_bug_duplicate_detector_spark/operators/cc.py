@@ -69,6 +69,14 @@ def connected_components(
     Vertices absent from any edge become singleton clusters (their own id)
     when ``vertices`` is supplied.
     """
+    sc = edges.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # caller's session has no checkpoint dir (e.g. an external driver):
+        # set one so reliable checkpoints still truncate the iterative lineage
+        import os
+        import tempfile
+
+        sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "dupdetect-ckpt"))
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
