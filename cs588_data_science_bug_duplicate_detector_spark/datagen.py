@@ -53,7 +53,11 @@ def _block_edit(tokens: list[str], target_j: float, k: int, rng, vocab) -> list[
 
 
 def generate_pages_pdf(
-    n_docs: int, seed: int = 42, cfg: DedupConfig | None = None
+    n_docs: int,
+    seed: int = 42,
+    cfg: DedupConfig | None = None,
+    url_prefix: str = "",
+    ts_offset_minutes: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     cfg = cfg or DedupConfig()
     rng = np.random.default_rng(seed)
@@ -143,7 +147,10 @@ def generate_pages_pdf(
     docs = docs[:n_docs]
 
     # --- materialize rows ---
-    urls = [f"https://src{d['source']}.example.org/p/{i:08d}" for i, d in enumerate(docs)]
+    urls = [
+        f"https://src{d['source']}.example.org/p/{url_prefix}{i:08d}"
+        for i, d in enumerate(docs)
+    ]
     texts = [" ".join(d["tokens"]) for d in docs]
     htmls = [
         (
@@ -158,7 +165,10 @@ def generate_pages_pdf(
     pages = pd.DataFrame(
         {
             "url": urls,
-            "warc_ts": [_BASE_TS + pd.Timedelta(minutes=int(i)) for i in range(len(docs))],
+            "warc_ts": [
+                _BASE_TS + pd.Timedelta(minutes=ts_offset_minutes + int(i))
+                for i in range(len(docs))
+            ],
             "html": htmls,
             "text": texts,
             "lang": [d["lang"] for d in docs],
@@ -174,6 +184,44 @@ def generate_pages_pdf(
         [(urls[a], urls[b]) for a, b in spans], columns=["url_a", "url_b"]
     )
     return pages, truth, spans_pdf
+
+
+def generate_pages_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    cfg: DedupConfig | None = None,
+    slice_size: int = 5000,
+):
+    """Executor-side generation for large corpora: each slice generates its
+    own planted structure (clusters never cross slices), urls/timestamps are
+    globally unique, and output is deterministic for (n_docs, seed).
+
+    Returns only the pages DataFrame (re-derive truth per slice via
+    ``generate_pages_pdf`` with the same slice seed when needed).
+    """
+    cfg = cfg or DedupConfig()
+    n_slices = (n_docs + slice_size - 1) // slice_size
+    sizes = [min(slice_size, n_docs - i * slice_size) for i in range(n_slices)]
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                s = int(row["id"])
+                pages, _t, _s = generate_pages_pdf(
+                    sizes[s],
+                    seed=seed + s,
+                    cfg=cfg,
+                    url_prefix=f"s{s:05d}-",
+                    ts_offset_minutes=s * slice_size,
+                )
+                yield pages
+
+    return (
+        spark.range(n_slices)
+        .repartition(n_slices)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
 
 
 def generate_pages(spark, n_docs: int, seed: int = 42, cfg: DedupConfig | None = None):

@@ -63,32 +63,41 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     on_iteration=None,
+    reliable: bool = False,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(id)] -> labels(id, cluster_id=min member).
 
     Vertices absent from any edge become singleton clusters (their own id)
     when ``vertices`` is supplied.
+
+    Lineage is truncated every round. Default is ``localCheckpoint`` (memory,
+    no disk round-trip — the rounds are the latency-critical serial section);
+    pass ``reliable=True`` for HDFS-style checkpoints when executor loss must
+    not restart the loop. Job-level resume is handled one level up by the
+    pipeline's edge/label stage checkpoints either way.
     """
     sc = edges.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isEmpty():
-        # caller's session has no checkpoint dir (e.g. an external driver):
-        # set one so reliable checkpoints still truncate the iterative lineage
+    if reliable and sc._jsc.sc().getCheckpointDir().isEmpty():
         import os
         import tempfile
 
         sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "dupdetect-ckpt"))
-    e = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    e = _ckpt(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .checkpoint(eager=True)
     )
     prev = _edge_summary(e)
     for it in range(max_iter):
-        e_next = _small_star(_large_star(e)).checkpoint(eager=True)
+        e_next = _ckpt(_small_star(_large_star(e)))
         cur = _edge_summary(e_next)
         if on_iteration is not None:
             on_iteration(it, cur[0])
+        e.unpersist()
         e = e_next
         if cur == prev:
             break

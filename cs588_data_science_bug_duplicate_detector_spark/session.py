@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.1: Union.rewriteConstraints intermittently throws
+        # "key not found: <attr>" when unioning self-join branches
+        # (constraint refs outside the child's output map). Constraint
+        # propagation only infers extra IsNotNull/filter predicates, which
+        # this workload doesn't depend on — disable it.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,153 @@
+"""Two-parallelism scaling evidence (north_rule stand-in for N vs 4N
+executors): run the identical dedup job on the identical corpus at
+local[8] and local[32], report docs/sec at both and efficiency
+(T_8/T_32)/4. Results land in BENCH/BASELINE.md.
+
+Usage:
+  python scripts/bench_scaling.py --all [--docs 100000]   # orchestrates both
+  python scripts/bench_scaling.py --cores 8               # one measurement
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = "/tmp/dupdetect_scale_corpus"
+
+
+def ensure_corpus(n_docs: int) -> None:
+    marker = os.path.join(CORPUS, f"_GEN_{n_docs}")
+    if os.path.exists(marker):
+        return
+    from cs588_data_science_bug_duplicate_detector_spark.datagen import generate_pages_distributed
+    from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
+
+    spark = get_spark("scale-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # lean corpus: the dedup job reads (url, text, lang) only
+    generate_pages_distributed(spark, n_docs).select("url", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(CORPUS)
+    spark.stop()
+    open(marker, "w").close()
+
+
+def run_once(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+    from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
+    from cs588_data_science_bug_duplicate_detector_spark.operators.exact import exact_dup_edges
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges_from_sigs, with_minhash
+    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges_from_sigs, with_simhash
+    from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
+
+    cfg = DedupConfig()
+    spark = get_spark("scale-bench", cores=cores, shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(CORPUS)
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+        .repartition(2 * cores)
+        .persist()
+    )
+    # staged shape (same as plans/pipeline.py): signatures are computed ONCE
+    # and shared by every detector — composing the detector functions directly
+    # would re-evaluate the signature UDFs in each self-join branch.
+    t0 = time.time()
+    sigs = with_simhash(with_minhash(docs, "text", cfg), "text").drop("text").persist()
+    sigs.count()
+    t_sign = time.time() - t0
+    mh, _hot = minhash_edges_from_sigs(sigs.select("doc_id", "minhash"), "doc_id", cfg)
+    edges = (
+        mh.unionByName(exact_dup_edges(docs, "doc_id", "text"))
+        .unionByName(simhash_edges_from_sigs(sigs.select("doc_id", "simhash"), "doc_id", cfg))
+        .distinct()
+        .persist()
+    )
+    n_edges = edges.count()
+    t_detect = time.time() - t0
+    labels = connected_components(edges, vertices=docs.select("doc_id"))
+    n_labels = labels.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    sec = time.time() - t0
+    t_cc = sec - t_detect
+    n_docs = spark.read.parquet(CORPUS).count()  # separate lineage, after timing
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(sec, 2),
+        "sign_sec": round(t_sign, 2),
+        "detect_sec": round(t_detect, 2),
+        "cc_sec": round(t_cc, 2),
+        "docs": n_docs,
+        "edges": n_edges,
+        "docs_per_sec": round(n_docs / sec, 1),
+        "labels": n_labels,
+        "clusters": n_clusters,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--docs", type=int, default=400_000)
+    # N vs 4N parallelism levels. Default 2 vs 8: this sandbox's 32 "CPUs"
+    # are SMT vCPUs — a pure-numpy burn test shows only ~1.5x more total
+    # compute from 8->32 workers (memory-bandwidth ceiling), so 8 vs 32
+    # cannot exhibit software scaling. 2 vs 8 sits in the box's linear
+    # region and is the honest stand-in for N vs 4N executors.
+    ap.add_argument("--levels", default="2,8")
+    args = ap.parse_args()
+
+    if args.cores:
+        ensure_corpus(args.docs)
+        print("RESULT " + json.dumps(run_once(args.cores)))
+        return
+
+    ensure_corpus(args.docs)
+    levels = tuple(int(x) for x in args.levels.split(","))
+    assert len(levels) == 2 and levels[1] == 4 * levels[0], "levels must be N,4N"
+    results = {}
+    have_taskset = subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+    for cores in levels:
+        # pin CPU affinity: local[N] alone doesn't bound CPUs — Python UDF
+        # workers run on extra cores, silently inflating the low-N run.
+        prefix = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
+        proc = subprocess.run(
+            prefix
+            + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results[cores] = json.loads(line[len("RESULT "):])
+        print(results[cores])
+
+    lo, hi = results[levels[0]], results[levels[1]]
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    summary = {
+        "docs": lo["docs"],
+        f"local{levels[0]}": lo,
+        f"local{levels[1]}": hi,
+        "speedup_N_to_4N": round(lo["sec"] / hi["sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "consistent_output": lo["labels"] == hi["labels"] and lo["clusters"] == hi["clusters"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

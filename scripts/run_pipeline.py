@@ -1,0 +1,66 @@
+"""spark-submit entry point for the dedup pipeline.
+
+Cluster usage (north_rule deployment shape):
+
+    python scripts/make_pyfiles.py                 # builds dist/dupdetect.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/dupdetect.zip \\
+        scripts/run_pipeline.py \\
+        --input  <pages parquet/iceberg path> \\
+        --workdir <checkpoint root> \\
+        --detectors exact,minhash,simhash,suffix
+
+Local smoke:
+
+    python scripts/run_pipeline.py --input /tmp/pages --workdir /tmp/wd
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages table path (parquet dir)")
+    ap.add_argument("--workdir", required=True, help="checkpoint/output root")
+    ap.add_argument("--detectors", default="exact,minhash,simhash")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None, help="local mode cores (ignored under a real master)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+    from cs588_data_science_bug_duplicate_detector_spark.plans.pipeline import run_pipeline
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        spark = existing  # spark-submit provided the session/context
+    else:
+        from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
+
+        spark = get_spark("dedup-pipeline", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    pages = spark.read.parquet(args.input)
+    run = run_pipeline(
+        spark,
+        pages,
+        args.workdir,
+        DedupConfig(),
+        detectors=tuple(args.detectors.split(",")),
+        resume=not args.no_resume,
+    )
+    n = run.labels.count()
+    n_clusters = run.labels.select("cluster_id").distinct().count()
+    print(json.dumps({"labels": n, "clusters": n_clusters, "stats": run.stats}))
+
+
+if __name__ == "__main__":
+    main()

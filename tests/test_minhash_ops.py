@@ -1,0 +1,77 @@
+"""MinHash operator internals: band determinism, hot-bucket capping with
+connectivity preservation, estimated-Jaccard verification."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+    band_table,
+    capped_buckets,
+    candidate_pairs,
+    hot_bucket_star_edges,
+    minhash_edges,
+    verify_pairs,
+    with_minhash,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = " ".join(f"w{i}" for i in range(150))
+    rows = [(i, base) for i in range(30)]  # 30 identical docs -> hot buckets
+    rows += [(100 + i, f"unique doc number {i} " + " ".join(f"u{i}x{j}" for j in range(80))) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_table_shape_and_determinism(spark, corpus):
+    cfg = DedupConfig()
+    sigs = with_minhash(corpus, "text", cfg)
+    bands = band_table(sigs, "doc_id", cfg)
+    assert bands.count() == corpus.count() * cfg.bands
+    # identical docs -> identical band hashes in every band
+    per_band = (
+        bands.where(F.col("id") < 100)
+        .groupBy("band_id")
+        .agg(F.countDistinct("band_hash").alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == 1 for r in per_band)
+
+
+def test_hot_bucket_cap_preserves_connectivity(spark, corpus):
+    cfg = DedupConfig(bucket_cap=10)  # 30 identical docs > cap
+    sigs = with_minhash(corpus, "text", cfg)
+    bands = band_table(sigs, "doc_id", cfg)
+    ok, hot = capped_buckets(bands, cfg)
+    assert hot.count() == cfg.bands  # every band's bucket for the clones is hot
+    assert ok.where(F.col("id") < 100).count() == 0  # clones fully capped
+    star = hot_bucket_star_edges(bands, hot)
+    got = {(r["src"], r["dst"]) for r in star.collect()}
+    # min member 0 connects every other clone: linear, not quadratic
+    assert got == {(0, i) for i in range(1, 30)}
+
+
+def test_quadratic_pairs_avoided_under_cap(spark, corpus):
+    cfg = DedupConfig(bucket_cap=10)
+    edges, hot = minhash_edges(corpus, "doc_id", "text", cfg)
+    e = edges.collect()
+    clone_edges = [r for r in e if r["src"] < 100 and r["dst"] < 100]
+    assert len(clone_edges) == 29  # star, not 30*29/2 pairs
+    # unique docs produce no cross edges
+    assert not [r for r in e if r["src"] >= 100 or r["dst"] >= 100]
+
+
+def test_verify_rejects_low_similarity(spark):
+    cfg = DedupConfig()
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(60)) + " " + " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, a), (2, b), (3, a)], "doc_id long, text string")
+    sigs = with_minhash(docs, "text", cfg)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    kept = verify_pairs(pairs, sigs, "doc_id", cfg).collect()
+    kept_pairs = {(r["src"], r["dst"]) for r in kept}
+    assert (1, 3) in kept_pairs  # identical -> est_jaccard 1.0
+    assert (1, 2) not in kept_pairs  # ~0.45 token-shingle jaccard < 0.6 threshold
+    est = {(r["src"], r["dst"]): r["est_jaccard"] for r in kept}
+    assert est[(1, 3)] == 1.0
