@@ -166,6 +166,44 @@ def q_retrieval_metrics(spark, sf_dir):
     )
 
 
+def q_docs_by_source_list(spark, sf_dir):
+    """A4 group->member-list (≙ cluster_to_indices, /root/reference/src/data.py:80-90),
+    surfaced as a csv string for engine-neutral value hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids_csv"),
+    )
+
+
+def q_events_rolling(spark, sf_dir):
+    """W5-style frame-spec window: trailing 3-event mean per user."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP(event_type, day)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_lang_guess_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -215,6 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
         "retrieval_metrics": q_retrieval_metrics,
+        "docs_by_source_list": q_docs_by_source_list,
+        "events_rolling": q_events_rolling,
+        "events_rollup": q_events_rollup,
         "lang_guess_counts": q_lang_guess_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_knn": q_embedding_knn,
@@ -368,6 +409,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "retrieval_metrics": _retrieval_oracle_sql(),
+        "docs_by_source_list": """
+            SELECT source, COUNT(*) AS n_docs,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_csv
+            FROM documents GROUP BY source
+        """,
+        "events_rolling": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+            FROM events WHERE user_id < 50
+        """,
+        "events_rollup": """
+            SELECT event_type, day, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+            GROUP BY ROLLUP(event_type, day)
+        """,
         "lang_guess_counts": _LANG_GUESS_SQL,
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "embedding_knn": """

@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     "exact_dup_groups",
     "ngram_jaccard_pairs",
     "retrieval_metrics",
+    "docs_by_source_list",
+    "events_rolling",
+    "events_rollup",
     "embedding_knn",
     "pricing_summary",
     "events_hourly",

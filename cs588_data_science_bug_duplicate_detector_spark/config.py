@@ -23,11 +23,17 @@ class DedupConfig:
     bands: int = 32             # LSH bands
     rows_per_band: int = 4      # bands * rows_per_band == num_perm
     verify_threshold: float = 0.6   # estimated-Jaccard acceptance on candidate pairs
+    # pairs colliding in >= this many bands are accepted without the
+    # signature-join verify: P(J<0.6 | m>=8 of 32 bands) is negligible
+    # (J=0.6 -> band-match p=0.13, mean 4.1; binomial tail above 8 vanishes),
+    # and high-match pairs are exactly the quadratic bulk (exact dups, farms)
+    auto_accept_bands: int = 8
 
     # --- SimHash (detector 2: near-identical pages) ---
     simhash_bits: int = 64
     simhash_chunks: int = 4         # pigeonhole chunks -> guarantees recall for hamming<=chunks-1
     simhash_hamming_max: int = 3
+    simhash_chunk_cap: int = 128    # hot chunk buckets -> verified star edges (same trade as bucket_cap)
 
     # --- suffix / long-shared-span (detector 3) ---
     suffix_window: int = 50     # tokens per sampled window
@@ -35,7 +41,12 @@ class DedupConfig:
     suffix_min_tokens: int = 50
 
     # --- skew handling ---
-    bucket_cap: int = 5000      # LSH buckets larger than this are capped (logged drop)
+    # LSH buckets above this size take the linear star-edge path instead of
+    # the quadratic pair join (a 200-member boilerplate bucket is 19,900
+    # pairs x 32 bands otherwise). Star edges are verified like any pair, so
+    # precision is unaffected; the documented trade is member<->member recall
+    # inside a hot bucket when BOTH members fail the root verify.
+    bucket_cap: int = 128
 
     # --- retrieval metrics ---
     k_values: tuple = (1, 5, 10, 20)

@@ -94,7 +94,12 @@ def hot_bucket_star_edges(bands: DataFrame, hot: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig, num_partitions: int | None = None) -> DataFrame:
-    """Bucket equi-join -> distinct (src < dst) candidate pairs."""
+    """Bucket equi-join -> (src < dst, n_bands) candidate pairs.
+
+    ``n_bands`` (how many of the 32 bands collided) is a free by-product of
+    the dedup aggregation and doubles as a coarse similarity estimate:
+    P(band collision) = J^rows_per_band.
+    """
     if num_partitions:
         bands = bands.repartition(num_partitions, "band_id", "band_hash")
     a = bands.alias("a")
@@ -102,8 +107,8 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, num_partitions: int | No
     return (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count("*").alias("n_bands"))
     )
 
 
@@ -138,12 +143,25 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     Edges include min-member star edges for capped hot buckets, so recall
     survives the cap.
     """
-    bands = band_table(sigs, id_col, cfg)
+    # persist: bands feed the cap pass, the pair join, and the hot-star pass —
+    # without it the 32M-row explode+hash recomputes per consumer
+    bands = band_table(sigs, id_col, cfg).persist()
     ok, hot = capped_buckets(bands, cfg)
-    pairs = candidate_pairs(ok, cfg, num_partitions)
-    verified = verify_pairs(pairs, sigs, id_col, cfg).select("src", "dst")
+    # persist: the auto/ambiguous split reads the pair table twice — without
+    # it the whole LSH bucket join runs twice.
+    pairs = candidate_pairs(ok, cfg, num_partitions).persist()
+    # hybrid verify: high-band-match pairs (the quadratic bulk — exact dups,
+    # template farms) are accepted outright; only the statistically ambiguous
+    # low-match tail pays the signature-join shuffle.
+    auto = pairs.where(F.col("n_bands") >= cfg.auto_accept_bands).select("src", "dst")
+    ambiguous = pairs.where(F.col("n_bands") < cfg.auto_accept_bands).select("src", "dst")
+    # hot-bucket star edges are verified exactly like joined pairs — the cap
+    # trades quadratic volume for linear, never precision
     star = hot_bucket_star_edges(bands, hot).select("src", "dst")
-    return verified.unionByName(star).distinct(), hot
+    verified = verify_pairs(
+        ambiguous.unionByName(star), sigs, id_col, cfg
+    ).select("src", "dst")
+    return auto.unionByName(verified).distinct(), hot
 
 
 def minhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,

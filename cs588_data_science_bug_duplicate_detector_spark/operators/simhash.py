@@ -50,20 +50,38 @@ def chunk_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "
 
 def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
                             num_partitions: int | None = None) -> DataFrame:
-    """sigs(id, simhash) -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst)."""
-    chunks = chunk_table(sigs, id_col, cfg)
+    """sigs(id, simhash) -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst).
+
+    Hot chunk buckets (boilerplate farms: hundreds of near-identical pages
+    agreeing on a 16-bit chunk) are capped like LSH buckets: min-member star
+    edges, Hamming-verified, linear instead of quadratic.
+    """
+    chunks = chunk_table(sigs, id_col, cfg).persist()
+    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("n"))
+    hot = sizes.where(F.col("n") > cfg.simhash_chunk_cap).select("chunk_id", "chunk_val")
+    ok = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti")
     if num_partitions:
-        chunks = chunks.repartition(num_partitions, "chunk_id", "chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+        ok = ok.repartition(num_partitions, "chunk_id", "chunk_val")
     ham = F.expr("bit_count(a.sig ^ b.sig)")
-    return (
+    a = ok.alias("a")
+    b = ok.alias("b")
+    joined = (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("a.id") < F.col("b.id"))
         .where(ham <= F.lit(cfg.simhash_hamming_max))
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .distinct()
     )
+    members = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"])
+    roots = members.groupBy("chunk_id", "chunk_val").agg(
+        F.min_by(F.struct("id", "sig"), "id").alias("r")
+    )
+    star = (
+        members.join(roots, ["chunk_id", "chunk_val"])
+        .where(F.col("id") != F.col("r.id"))
+        .where(F.expr("bit_count(sig ^ r.sig)") <= F.lit(cfg.simhash_hamming_max))
+        .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
+    )
+    return joined.unionByName(star).distinct()
 
 
 def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,

@@ -74,7 +74,15 @@ def run_pipeline(
         df = build()
         io.write(df, name)
         out = io.read(spark, name)
-        n = out.count()
+        # per-partition lineage metrics (north_rule): row histogram of the
+        # checkpoint as written, so a resume can audit balance/skew per stage
+        part_rows = [
+            r["n"]
+            for r in out.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        n = sum(part_rows)
         io.write_meta(
             name,
             {
@@ -82,6 +90,11 @@ def run_pipeline(
                 "input_fingerprint": input_fp,
                 "config_fingerprint": cfg.fingerprint(),
                 "rows": n,
+                "partitions": {
+                    "count": len(part_rows),
+                    "min_rows": min(part_rows) if part_rows else 0,
+                    "max_rows": max(part_rows) if part_rows else 0,
+                },
                 "detectors": list(detectors),
             },
         )

@@ -26,6 +26,11 @@ def get_spark(
         # (a real cluster submit would set this per executor count).
         shuffle_partitions = max(2 * cores, 8)
 
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir:
+        # tmpfs shuffle dirs when RAM allows: local-mode shuffles to a slow
+        # /tmp disk serialize otherwise (a real cluster sets its own dirs)
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -46,6 +51,8 @@ def get_spark(
         # this workload doesn't depend on — disable it.
         .config("spark.sql.constraintPropagation.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -29,7 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages table path (parquet dir)")
     ap.add_argument("--workdir", required=True, help="checkpoint/output root")
-    ap.add_argument("--detectors", default="exact,minhash,simhash")
+    ap.add_argument("--detectors", default="exact,minhash,simhash,suffix")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (ignored under a real master)")
     args = ap.parse_args()
