@@ -47,20 +47,21 @@ def with_minhash(df: DataFrame, text_col: str, cfg: DedupConfig, out_col: str = 
 
 
 def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash") -> DataFrame:
-    """(id, band_id, band_hash): one row per band per doc, JVM-side only."""
+    """(id, band_key): one row per band per doc, JVM-side only.
+
+    band_key folds the band index INTO the hash (xxhash64(band_id, slice)),
+    so every downstream shuffle/join/group keys on a single long instead of
+    (int, long) — ~30% less key bandwidth on the hottest table in the job.
+    Cross-band collisions need a 64-bit hash collision: negligible.
+    """
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band_id"),
-            F.xxhash64(
-                F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band)
-            ).alias("band_hash"),
+        lambda b: F.xxhash64(
+            b,
+            F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band),
         ),
     )
-    return (
-        sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("b"))
-        .select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-    )
+    return sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
 
 
 def capped_buckets(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
@@ -70,23 +71,19 @@ def capped_buckets(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     bucket_size) is returned for metrics/lineage, and callers keep intra-
     bucket connectivity via ``hot_bucket_star_edges``.
     """
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    sizes = bands.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
     hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
-    ok = bands.join(
-        F.broadcast(hot.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
+    ok = bands.join(F.broadcast(hot.select("band_key")), ["band_key"], "left_anti")
     return ok, hot
 
 
 def hot_bucket_star_edges(bands: DataFrame, hot: DataFrame) -> DataFrame:
     """min-member star edges inside each capped bucket (keeps connectivity
     linear in bucket size instead of quadratic)."""
-    members = bands.join(F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"])
-    roots = members.groupBy("band_id", "band_hash").agg(F.min("id").alias("root"))
+    members = bands.join(F.broadcast(hot.select("band_key")), ["band_key"])
+    roots = members.groupBy("band_key").agg(F.min("id").alias("root"))
     return (
-        members.join(roots, ["band_id", "band_hash"])
+        members.join(roots, ["band_key"])
         .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .distinct()
@@ -101,11 +98,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig, num_partitions: int | No
     P(band collision) = J^rows_per_band.
     """
     if num_partitions:
-        bands = bands.repartition(num_partitions, "band_id", "band_hash")
+        bands = bands.repartition(num_partitions, "band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, ["band_key"])
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .agg(F.count("*").alias("n_bands"))
@@ -123,8 +120,17 @@ def estimated_jaccard_col(sig_a, sig_b, num_perm: int):
 
 def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfig,
                  sig_col: str = "minhash") -> DataFrame:
-    """Attach estimated Jaccard; keep pairs >= cfg.verify_threshold."""
-    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    """Attach estimated Jaccard; keep pairs >= cfg.verify_threshold.
+
+    Signatures travel through the two joins as array<int> (low 32 bits per
+    slot): equality of full slots implies equality of the truncation, and a
+    false 32-bit agreement (2^-32/slot) shifts the 128-slot estimate by
+    < 1e-8 — while halving the largest shuffle payload in the verify phase.
+    """
+    s = sigs.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(sig_col), lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")).alias("sig"),
+    )
     scored = (
         pairs.join(s.withColumnRenamed("sig", "sig_a"), pairs.src == s.id)
         .drop("id")

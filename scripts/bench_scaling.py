@@ -106,6 +106,9 @@ def main() -> None:
     # cannot exhibit software scaling. 2 vs 8 sits in the box's linear
     # region and is the honest stand-in for N vs 4N executors.
     ap.add_argument("--levels", default="2,8")
+    # shared-host noise: identical legs vary +-40% run to run; min-of-R is
+    # the standard robust estimator
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     if args.cores:
@@ -122,16 +125,21 @@ def main() -> None:
         # pin CPU affinity: local[N] alone doesn't bound CPUs — Python UDF
         # workers run on extra cores, silently inflating the low-N run.
         prefix = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
-        proc = subprocess.run(
-            prefix
-            + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
-        results[cores] = json.loads(line[len("RESULT "):])
-        print(results[cores])
+        best = None
+        for _ in range(max(1, args.repeats)):
+            proc = subprocess.run(
+                prefix
+                + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+            run = json.loads(line[len("RESULT "):])
+            print(run)
+            if best is None or run["sec"] < best["sec"]:
+                best = run
+        results[cores] = best
 
     lo, hi = results[levels[0]], results[levels[1]]
     eff = (lo["sec"] / hi["sec"]) / 4.0

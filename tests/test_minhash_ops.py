@@ -29,14 +29,16 @@ def test_band_table_shape_and_determinism(spark, corpus):
     sigs = with_minhash(corpus, "text", cfg)
     bands = band_table(sigs, "doc_id", cfg)
     assert bands.count() == corpus.count() * cfg.bands
-    # identical docs -> identical band hashes in every band
-    per_band = (
+    # identical docs -> identical band keys: the 30 clones share exactly
+    # cfg.bands distinct keys, each bucket holding all 30
+    clone_buckets = (
         bands.where(F.col("id") < 100)
-        .groupBy("band_id")
-        .agg(F.countDistinct("band_hash").alias("h"))
+        .groupBy("band_key")
+        .agg(F.count("*").alias("n"))
         .collect()
     )
-    assert all(r["h"] == 1 for r in per_band)
+    assert len(clone_buckets) == cfg.bands
+    assert all(r["n"] == 30 for r in clone_buckets)
 
 
 def test_hot_bucket_cap_preserves_connectivity(spark, corpus):
