@@ -34,7 +34,19 @@ K_VALUES = (1, 5, 10, 20)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _harden(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _harden(spark: SparkSession) -> None:
+    """Session-safe confs for externally-provided sessions: Spark 4.1's
+    Union.rewriteConstraints intermittently fails ("key not found: <attr>")
+    on unions of self-join branches; constraint propagation only infers
+    redundant IsNotNull filters for these plans."""
+    try:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    except Exception:
+        pass  # conf locked down -> proceed with defaults
 
 
 # ---------------------------------------------------------------------------
