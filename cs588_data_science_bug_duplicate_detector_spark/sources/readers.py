@@ -34,7 +34,9 @@ def read_json(spark: SparkSession, path: str, ddl: str, **options) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).option("header", "true").csv(path)
+    # escape='"' matches read_csv (RFC-4180 quote doubling); Spark's default
+    # writer escape is backslash, which its own reader then misparses
+    df.write.mode(mode).option("header", "true").option("escape", '"').csv(path)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
