@@ -36,9 +36,15 @@ class DedupConfig:
     simhash_chunk_cap: int = 128    # hot chunk buckets -> verified star edges (same trade as bucket_cap)
 
     # --- suffix / long-shared-span (detector 3) ---
-    suffix_window: int = 50     # tokens per sampled window
-    suffix_stride: int = 25     # token stride between sampled windows
+    suffix_window: int = 50     # tokens per anchored window
     suffix_min_tokens: int = 50
+    anchor_k: int = 8           # tokens per anchor gram (content-defined anchors)
+    anchor_mod: int = 4         # ~1/anchor_mod of positions become anchors
+    max_windows_per_doc: int = 512  # cap on anchored windows per doc (drop count surfaced in stage meta)
+    # anchor-selection hash: 'xxhash64' (production, fastest JVM hash) or
+    # 'md5' (portable — bit-identical in DuckDB, used by the oracle-checked
+    # suffix query). Both modes are pytest-gated on planted long-span pairs.
+    anchor_hash: str = "xxhash64"
 
     # --- skew handling ---
     # LSH buckets above this size take the linear star-edge path instead of

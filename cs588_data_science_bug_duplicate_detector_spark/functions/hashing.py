@@ -26,8 +26,6 @@ _HASH_KEY = "dupdetect-v1-key"
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
-_MERSENNE_UNUSED = None  # multiply-shift mod 2^64 is used instead (faster, adequate for MinHash)
-
 
 def hash64(values: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit hash of an object array of strings -> uint64."""

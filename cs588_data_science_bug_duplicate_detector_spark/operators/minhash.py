@@ -46,21 +46,34 @@ def with_minhash(df: DataFrame, text_col: str, cfg: DedupConfig, out_col: str = 
     return df.withColumn(out_col, minhash_udf(cfg)(F.col(text_col)))
 
 
-def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash") -> DataFrame:
+def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash",
+               string_keys: bool = False) -> DataFrame:
     """(id, band_key): one row per band per doc, JVM-side only.
 
     band_key folds the band index INTO the hash (xxhash64(band_id, slice)),
     so every downstream shuffle/join/group keys on a single long instead of
     (int, long) — ~30% less key bandwidth on the hottest table in the job.
     Cross-band collisions need a 64-bit hash collision: negligible.
+
+    ``string_keys=True`` emits the verbatim key ``"<band>:<s0>,<s1>,..."``
+    instead — the portable/oracle mode, reproduced exactly by the DuckDB
+    SQL in functions/portable.py (DuckDB has no xxhash64). Semantically
+    identical grouping; only the key encoding differs.
     """
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda b: F.xxhash64(
+    if string_keys:
+        key = lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.array_join(
+                F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band), ","
+            ),
+        )
+    else:
+        key = lambda b: F.xxhash64(
             b,
             F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band),
-        ),
-    )
+        )
+    bands = F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), key)
     return sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
 
 
@@ -122,10 +135,11 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfi
                  sig_col: str = "minhash") -> DataFrame:
     """Attach estimated Jaccard; keep pairs >= cfg.verify_threshold.
 
-    Signatures travel through the two joins as array<int> (low 32 bits per
-    slot): equality of full slots implies equality of the truncation, and a
-    false 32-bit agreement (2^-32/slot) shifts the 128-slot estimate by
-    < 1e-8 — while halving the largest shuffle payload in the verify phase.
+    Signatures travel through the two joins as array<int> (low 31 bits per
+    slot — 0x7FFFFFFF so the value fits a signed int under ANSI casting):
+    equality of full slots implies equality of the truncation, and a false
+    31-bit agreement (~2^-31/slot) shifts the 128-slot estimate by < 1e-7
+    — while halving the largest shuffle payload in the verify phase.
     """
     s = sigs.select(
         F.col(id_col).alias("id"),
@@ -142,16 +156,33 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfi
     return scored.where(F.col("est_jaccard") >= cfg.verify_threshold)
 
 
+def release_cached_deps(df: DataFrame) -> None:
+    """Unpersist the intermediate DataFrames a builder attached to ``df``.
+
+    Call AFTER materializing ``df`` (checkpoint write / count / collect) —
+    long-lived sessions (bench loops, multi-split pipelines) otherwise
+    accumulate cached band/pair blocks until LRU pressure.
+    """
+    for dep in getattr(df, "_cached_deps", []):
+        try:
+            dep.unpersist()
+        except Exception:
+            pass
+
+
 def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
-                            num_partitions: int | None = None) -> tuple[DataFrame, DataFrame]:
+                            num_partitions: int | None = None,
+                            string_keys: bool = False) -> tuple[DataFrame, DataFrame]:
     """sigs(id, minhash) -> (verified edges(src,dst), hot_bucket_summary).
 
     Edges include min-member star edges for capped hot buckets, so recall
-    survives the cap.
+    survives the cap. The returned edges carry ``_cached_deps`` (the
+    persisted band/pair tables) — callers should ``release_cached_deps``
+    after materializing.
     """
     # persist: bands feed the cap pass, the pair join, and the hot-star pass —
     # without it the 32M-row explode+hash recomputes per consumer
-    bands = band_table(sigs, id_col, cfg).persist()
+    bands = band_table(sigs, id_col, cfg, string_keys=string_keys).persist()
     ok, hot = capped_buckets(bands, cfg)
     # persist: the auto/ambiguous split reads the pair table twice — without
     # it the whole LSH bucket join runs twice.
@@ -167,7 +198,9 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     verified = verify_pairs(
         ambiguous.unionByName(star), sigs, id_col, cfg
     ).select("src", "dst")
-    return auto.unionByName(verified).distinct(), hot
+    edges = auto.unionByName(verified).distinct()
+    edges._cached_deps = [bands, pairs]
+    return edges, hot
 
 
 def minhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,

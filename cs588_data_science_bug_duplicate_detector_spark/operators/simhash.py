@@ -81,7 +81,9 @@ def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
         .where(F.expr("bit_count(sig ^ r.sig)") <= F.lit(cfg.simhash_hamming_max))
         .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
     )
-    return joined.unionByName(star).distinct()
+    edges = joined.unionByName(star).distinct()
+    edges._cached_deps = [chunks]  # release via minhash.release_cached_deps after materializing
+    return edges
 
 
 def simhash_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,

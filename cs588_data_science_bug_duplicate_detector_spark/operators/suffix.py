@@ -20,21 +20,30 @@ Any shared span of length >= W + anchor_k * anchor_mod contains an anchor
 with high probability; spans exactly W long can be missed between anchors
 (documented recall trade; tighten anchor_mod to trade cost for recall).
 
-Everything is pure column expressions (transform/filter/slice/xxhash64)
-inside whole-stage codegen — no Python at all in this detector.
+Everything is pure column expressions (transform/filter/slice/hash)
+inside whole-stage codegen — no Python at all in this detector. The
+anchor-selection hash is configurable (``cfg.anchor_hash``): 'xxhash64'
+(production default) or 'md5' (portable — the oracle-checked query mode,
+bit-identical to the DuckDB SQL in functions/portable.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 from ..functions.text import tokens
 
-ANCHOR_K = 8      # tokens per anchor gram
-ANCHOR_MOD = 4    # ~1/4 of positions become anchors
-MAX_WINDOWS_PER_DOC = 512  # cap: bounds cost on pathological megadocs (logged)
+
+def _anchor_pred(gram: Column, cfg: DedupConfig) -> Column:
+    """True where ``gram`` is an anchor position — content-defined."""
+    if cfg.anchor_hash == "md5":
+        # low nibble of md5 hex — portable: DuckDB computes the identical
+        # value via CAST('0x' || substr(md5(g), 32, 1) AS BIGINT)
+        nib = F.conv(F.substring(F.md5(gram.cast("binary")), 32, 1), 16, 10).cast("long")
+        return nib % F.lit(cfg.anchor_mod) == 0
+    return F.pmod(F.xxhash64(gram), F.lit(cfg.anchor_mod)) == 0
 
 
 def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
@@ -46,12 +55,12 @@ def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) 
         .where(F.col("n") >= cfg.suffix_min_tokens)
     )
     last_start = F.col("n") - F.lit(cfg.suffix_window)  # inclusive 0-based
-    anchor_hash = lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, ANCHOR_K)))
+    gram = lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, cfg.anchor_k))
     positions = F.filter(
         F.sequence(F.lit(0), last_start),
-        lambda i: F.pmod(anchor_hash(i), F.lit(ANCHOR_MOD)) == 0,
+        lambda i: _anchor_pred(gram(i), cfg),
     )
-    positions = F.slice(positions, 1, MAX_WINDOWS_PER_DOC)
+    positions = F.slice(positions, 1, cfg.max_windows_per_doc)
     win_hash = F.xxhash64(
         F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, cfg.suffix_window))
     )

@@ -1,0 +1,174 @@
+"""Portable (md5-derived, SQL-expressible) hash kernels:
+
+1. the Catalyst expressions match an eager pure-Python recomputation
+   bit-for-bit (engine-independent semantics, the same contract the
+   DuckDB oracle SQL implements);
+2. the portable pipeline passes the SAME planted-truth gates as the
+   production siphash pipeline (recall >= 0.99, no false merges) — the
+   two hash families are interchangeable at the cluster level;
+3. the md5-anchor suffix mode finds planted span pairs like the
+   xxhash64 production mode.
+"""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.datagen import generate_pages
+from cs588_data_science_bug_duplicate_detector_spark.functions import portable
+from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
+from cs588_data_science_bug_duplicate_detector_spark.operators.exact import exact_dup_edges
+from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+    minhash_edges_from_sigs,
+)
+from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import (
+    simhash_edges_from_sigs,
+)
+from cs588_data_science_bug_duplicate_detector_spark.operators.suffix import suffix_edges
+
+P31 = portable.P31
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _md5_int(s: str, start: int, length: int) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[start : start + length], 16)
+
+
+def eager_minhash(text: str, k: int, a: list[int], b: list[int]) -> list[int]:
+    toks = _TOK.findall((text or "").lower())
+    if len(toks) >= k:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    elif toks:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [""]
+    hs = [_md5_int(s, 0, 8) % P31 for s in shingles]
+    return [min((aj * h + bj) % P31 for h in hs) for aj, bj in zip(a, b)]
+
+
+def eager_simhash(text: str) -> int:
+    toks = _TOK.findall((text or "").lower()) or [""]
+    hs = [(_md5_int(t, 0, 8), _md5_int(t, 8, 8)) for t in toks]
+    n = len(hs)
+    sig = 0
+    for j in range(64):
+        ones = sum(
+            ((lo >> j) & 1 if j < 32 else (hi >> (j - 32)) & 1) for hi, lo in hs
+        )
+        if 2 * ones > n:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= 1 << 63 else sig  # int64 view
+
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog again and again today",
+    "the QUICK brown-fox; jumps! over the lazy dog again and again today",
+    "short one",
+    "",
+    "word " * 40,
+]
+
+
+def test_portable_minhash_matches_eager_python(spark):
+    cfg = DedupConfig(num_perm=16, bands=4, rows_per_band=4)
+    a, b = portable.perms31(cfg.num_perm, cfg.seed)
+    df = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["minhash"])
+        for r in portable.with_portable_minhash(df, "text", cfg).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == eager_minhash(t, cfg.shingle_k, a, b), f"doc {i}"
+
+
+def test_portable_simhash_matches_eager_python(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in portable.with_portable_simhash(df, "text").collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == eager_simhash(t), f"doc {i}"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    pages, truth, spans = generate_pages(spark, 400, seed=11)
+    docs = pages.withColumn(
+        "doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    ).cache()
+    tr = {
+        int(r["url"].rsplit("/p/", 1)[1]): r["true_cluster_id"] for r in truth.collect()
+    }
+    return docs, tr
+
+
+def test_portable_pipeline_meets_recall_gate(spark, planted):
+    """Portable hash family passes the same dup-pair gates as production."""
+    docs, tr = planted
+    cfg = DedupConfig()
+    sigs = portable.with_portable_minhash(docs.select("doc_id", "text"), "text", cfg)
+    mh, _hot = minhash_edges_from_sigs(
+        sigs.select("doc_id", "minhash"), "doc_id", cfg, string_keys=True
+    )
+    edges = mh.unionByName(exact_dup_edges(docs, "doc_id", "text")).distinct()
+    labels = connected_components(edges, vertices=docs.select("doc_id"))
+    lab = {r["id"]: r["cluster_id"] for r in labels.collect()}
+
+    ids = sorted(tr)
+    true_pairs = {
+        (x, y)
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+        if tr[x] == tr[y] and tr[x] is not None
+    }
+    found = sum(1 for x, y in true_pairs if lab[x] == lab[y])
+    assert found / max(len(true_pairs), 1) >= 0.99
+    # no false merges: predicted-same but truth-different (distractors at J~0.35)
+    by_cluster: dict = {}
+    for d, c in lab.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        if len(members) > 1:
+            truths = {tr[m] for m in members if m in tr}
+            assert len(truths) == 1, f"false merge in cluster {c}: {truths}"
+
+
+def test_portable_simhash_detects_near_identical(spark):
+    base = " ".join(f"tok{i}" for i in range(300))
+    tweaked = base.replace("tok150", "zzz")  # tiny diff on a large doc
+    other = " ".join(f"unrel{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, base), (2, tweaked), (3, other)], "doc_id long, text string"
+    )
+    sigs = portable.with_portable_simhash(df, "text").select("doc_id", "simhash")
+    got = {
+        (r["src"], r["dst"])
+        for r in simhash_edges_from_sigs(sigs, "doc_id", DedupConfig()).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in e for e in got)
+
+
+def test_md5_anchor_suffix_mode_finds_planted_spans(spark, planted):
+    docs, _ = planted
+    _, _, spans = generate_pages(spark, 400, seed=11)
+    span_pairs = {
+        tuple(
+            sorted(
+                (int(r["url_a"].rsplit("/p/", 1)[1]), int(r["url_b"].rsplit("/p/", 1)[1]))
+            )
+        )
+        for r in spans.collect()
+    }
+    cfg = DedupConfig(anchor_hash="md5")
+    edges = suffix_edges(docs, "doc_id", "text", cfg)
+    lab = {}
+    cc = connected_components(edges).collect()
+    for r in cc:
+        lab[r["id"]] = r["cluster_id"]
+    hit = sum(1 for x, y in span_pairs if lab.get(x) is not None and lab.get(x) == lab.get(y))
+    assert hit / max(len(span_pairs), 1) >= 0.9
