@@ -22,7 +22,9 @@ from pyspark.sql.types import StringType
 def _extract_main(html: pd.Series) -> pd.Series:
     # bytes -> str; invalid utf-8 replaced deterministically
     s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else "")
-    body = s.str.extract(r"<main>(.*?)</main>", expand=False)
+    # (?s): real pages put newlines inside <main> — without DOTALL they
+    # silently extract as empty and vanish from dedup
+    body = s.str.extract(r"(?s)<main>(.*?)</main>", expand=False)
     return body.fillna("")
 
 

@@ -46,8 +46,15 @@ def ngram_jaccard_pairs(
     if group_col:
         cols.append(F.col(group_col).alias("g"))
     base = docs.select(*cols).withColumn("n_grams", F.size("grams"))
+    # join on xxhash64(gram), not the gram string: ~5x less key bandwidth on
+    # the explode-join shuffle (8-byte longs vs ~20-40 byte strings). A
+    # 64-bit collision between two DISTINCT grams of a doc pair overstates
+    # the intersection by 1 — odds ~ (grams-per-doc)^2 / 2^64, negligible.
     exploded = base.select(
-        "id", "n_grams", *(["g"] if group_col else []), F.explode("grams").alias("gram")
+        "id",
+        "n_grams",
+        *(["g"] if group_col else []),
+        F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram"),
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
