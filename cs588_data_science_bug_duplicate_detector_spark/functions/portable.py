@@ -312,6 +312,54 @@ ORDER BY src, dst
 """
 
 
+def ann_lsh_sql(
+    dim: int,
+    k: int = 3,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_query_id: int = 50,
+) -> str:
+    """Oracle for operators.ann.lsh_topk: hyperplane-sign buckets (plane
+    constants from the same seeded rng, embedded as literals), bucket
+    equi-join candidates, exact cosine rescore, per-query top-k.
+
+    Sign parity across engines: summation order may differ in the last ulp,
+    but a sign flip needs |dot| ~ 1e-13 on O(1)-magnitude gaussian dots —
+    vanishing at test scale (same argument as the embedding_knn ordering
+    parity, which is hash-green).
+    """
+    table_selects = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((dim, n_bits))
+        bits = []
+        for j in range(n_bits):
+            vec = ", ".join(repr(float(planes[i][j])) for i in range(dim))
+            bits.append(
+                f"CASE WHEN list_inner_product(v, [{vec}]) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        bucket = " + ".join(bits)
+        table_selects.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM e")
+    buckets_sql = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS ({buckets_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM bk a JOIN bk b USING (tbl, bucket) WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS s
+  FROM cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) AS rnk
+  FROM scored)
+SELECT qid AS query_id, rnk, nid AS neighbor_id
+FROM ranked WHERE rnk <= {k} AND qid < {max_query_id}
+ORDER BY query_id, rnk
+"""
+
+
 def suffix_span_edges_sql(cfg: DedupConfig, source_sql: str = "documents") -> str:
     """Oracle for the suffix/long-shared-span detector with md5 anchors:
     positions whose ANCHOR_K-gram md5 low nibble ≡ 0 (mod anchor_mod) are

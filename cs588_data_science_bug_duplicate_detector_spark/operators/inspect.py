@@ -1,0 +1,122 @@
+"""Single-query inspection: "show me this doc's duplicate candidates".
+
+Reference parity: ``retrieve_top_k`` + the printed top-k table with
+``✓ DUPLICATE`` ground-truth marks
+(/root/reference/inference_comparison.py:69-161). The reference scores the
+query against EVERY candidate via the dense similarity row; at 10^12 docs
+a single-doc lookup must touch only the query's LSH buckets — the corpus
+side streams, the query's ~32 band keys and signature are broadcast, so
+the lookup is one bucket semi-join + a rescore of the (small) candidate
+set. Same ranking semantics: score desc, id asc, self excluded
+(reference P6, src/metrics.py:197-200).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from .minhash import band_table, estimated_jaccard_col, with_minhash
+
+
+def retrieve_top_k(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    cfg: DedupConfig | None = None,
+    k: int = 20,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, cand_id, est_jaccard) — the query doc's top-k near-dup
+    candidates from its LSH buckets. Pass ``sigs`` (id, minhash) to reuse a
+    signatures checkpoint instead of re-signing the corpus."""
+    cfg = cfg or DedupConfig()
+    if sigs is None:
+        sigs = with_minhash(docs.select(id_col, text_col), text_col, cfg).select(
+            F.col(id_col).alias("id"), "minhash"
+        )
+    else:
+        sigs = sigs.select(F.col(id_col).alias("id"), "minhash")
+    bands = band_table(sigs, "id", cfg)
+    q_bands = bands.where(F.col("id") == query_id).select("band_key").distinct()
+    cand = (
+        bands.join(F.broadcast(q_bands), "band_key")
+        .where(F.col("id") != query_id)
+        .select("id")
+        .distinct()
+    )
+    q_sig = (
+        sigs.where(F.col("id") == query_id)
+        .select(F.col("minhash").alias("q_minhash"))
+    )
+    scored = (
+        sigs.join(cand, "id")
+        .crossJoin(F.broadcast(q_sig))
+        .withColumn(
+            "est_jaccard",
+            estimated_jaccard_col(F.col("minhash"), F.col("q_minhash"), cfg.num_perm),
+        )
+    )
+    w = Window.orderBy(F.desc("est_jaccard"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", F.col("id").alias("cand_id"), "est_jaccard")
+    )
+
+
+def format_inspection(
+    query_id: int,
+    query_text: str | None,
+    results: list,
+    true_dups: set,
+    k: int = 20,
+) -> str:
+    """Top-k table with ✓ DUPLICATE truth marks
+    (≙ print_comparison_results, inference_comparison.py:127-161)."""
+    lines = ["=" * 72, f"QUERY DOC: {query_id}", "=" * 72]
+    if query_text is not None:
+        lines += ["", "--- Query Text ---", query_text[:500], ""]
+    lines += [f"--- Known Duplicates: {len(true_dups)} ---",
+              ", ".join(map(str, sorted(true_dups))) or "(none)", ""]
+    lines += [f"TOP {k} CANDIDATES", "-" * 72,
+              f"{'Rank':<6} {'Doc ID':<22} {'Est.Jaccard':<12} {'Duplicate?':<12}",
+              "-" * 72]
+    found = 0
+    for r in results:
+        mark = "✓ DUPLICATE" if r["cand_id"] in true_dups else ""
+        found += bool(mark)
+        lines.append(f"{r['rank']:<6} {r['cand_id']:<22} {r['est_jaccard']:<12.4f} {mark:<12}")
+    denom = max(len(true_dups), 1)
+    lines += ["-" * 72,
+              f"Duplicates found in top-{k}: {found}/{len(true_dups)} ({100.0 * found / denom:.1f}%)",
+              "=" * 72]
+    return "\n".join(lines)
+
+
+def inspect_doc(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    cfg: DedupConfig | None = None,
+    k: int = 20,
+    labels: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> str:
+    """End-to-end: retrieve + truth-mark (truth = same cluster in
+    ``labels(id, cluster_id)``, when provided) + format."""
+    cfg = cfg or DedupConfig()
+    results = retrieve_top_k(docs, id_col, text_col, query_id, cfg, k, sigs=sigs).collect()
+    true_dups: set = set()
+    if labels is not None:
+        lab = labels.select(F.col(labels.columns[0]).alias("id"), F.col(labels.columns[1]).alias("c"))
+        q = lab.where(F.col("id") == query_id).select("c")
+        true_dups = {
+            r["id"]
+            for r in lab.join(F.broadcast(q), "c").where(F.col("id") != query_id).collect()
+        }
+    qt = docs.where(F.col(id_col) == query_id).select(F.col(text_col)).first()
+    return format_inspection(query_id, qt[0] if qt else None, results, true_dups, k)

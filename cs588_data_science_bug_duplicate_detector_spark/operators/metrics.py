@@ -80,6 +80,28 @@ def retrieval_metrics(pairs: DataFrame, k_values: tuple = (1, 5, 10, 20)) -> Dat
     )
 
 
+def format_metrics_block(rows: list, k_values: tuple = (1, 5, 10, 20)) -> str:
+    """Driver-side pretty block (SURVEY.md M5 ≙ MetricsCalculator.format_metrics,
+    /root/reference/src/metrics.py:221-256). ``rows`` is the collected output
+    of retrieval_metrics (one row per k)."""
+    by_k = {int(r["k"]): r for r in rows}
+    lines = ["\nRetrieval Metrics:", "=" * 50, "\nRecall@k:"]
+    for k in k_values:
+        if k in by_k:
+            lines.append(f"  Recall@{k:2d}: {by_k[k]['recall_at_k']:.4f}")
+    if by_k:
+        any_row = next(iter(by_k.values()))
+        lines.append(f"\nMRR: {any_row['mrr']:.4f}")
+    lines.append("\nMAP@k:")
+    for k in k_values:
+        if k in by_k:
+            lines.append(f"  MAP@{k:2d}: {by_k[k]['map_at_k']:.4f}")
+    if by_k:
+        lines.append(f"\nNumber of queries: {int(any_row['num_queries'])}")
+    lines.append("=" * 50)
+    return "\n".join(lines)
+
+
 def relevance_pairs(labels: DataFrame, id_col: str = "id", cluster_col: str = "cluster_id") -> DataFrame:
     """Self equi-join on cluster id, excluding self-pairs (SURVEY.md J2/P6
     ≙ /root/reference/src/metrics.py:180-200): the ground-truth relevant

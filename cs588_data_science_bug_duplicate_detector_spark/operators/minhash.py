@@ -156,6 +156,18 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, id_col: str, cfg: DedupConfi
     return scored.where(F.col("est_jaccard") >= cfg.verify_threshold)
 
 
+def hot_bucket_stats(hot: DataFrame) -> dict:
+    """Summarize the hot-bucket table for stage lineage metrics. Cheap when
+    the underlying band table is still persisted — call BEFORE
+    release_cached_deps."""
+    row = hot.agg(
+        F.count("*").alias("hot_buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows_in_hot_buckets"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+    ).collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
 def release_cached_deps(df: DataFrame) -> None:
     """Unpersist the intermediate DataFrames a builder attached to ``df``.
 

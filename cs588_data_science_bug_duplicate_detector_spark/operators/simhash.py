@@ -49,16 +49,26 @@ def chunk_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "
 
 
 def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
-                            num_partitions: int | None = None) -> DataFrame:
+                            num_partitions: int | None = None,
+                            stats_out: dict | None = None) -> DataFrame:
     """sigs(id, simhash) -> verified Hamming<=cfg.simhash_hamming_max edges (src < dst).
 
     Hot chunk buckets (boilerplate farms: hundreds of near-identical pages
     agreeing on a 16-bit chunk) are capped like LSH buckets: min-member star
-    edges, Hamming-verified, linear instead of quadratic.
+    edges, Hamming-verified, linear instead of quadratic. Pass ``stats_out``
+    to surface the cap as lineage metrics (hot chunk count / capped rows /
+    max bucket) — computed from the persisted chunk table, no extra scan.
     """
     chunks = chunk_table(sigs, id_col, cfg).persist()
     sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("n"))
     hot = sizes.where(F.col("n") > cfg.simhash_chunk_cap).select("chunk_id", "chunk_val")
+    if stats_out is not None:
+        row = sizes.where(F.col("n") > cfg.simhash_chunk_cap).agg(
+            F.count("*").alias("hot_chunks"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("rows_in_hot_chunks"),
+            F.coalesce(F.max("n"), F.lit(0)).alias("max_chunk_size"),
+        ).collect()[0]
+        stats_out.update({k: int(row[k]) for k in row.asDict()})
     ok = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti")
     if num_partitions:
         ok = ok.repartition(num_partitions, "chunk_id", "chunk_val")

@@ -46,8 +46,16 @@ def _anchor_pred(gram: Column, cfg: DedupConfig) -> Column:
     return F.pmod(F.xxhash64(gram), F.lit(cfg.anchor_mod)) == 0
 
 
-def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
-    """(id, win_hash) for every content-defined anchor window in every doc."""
+def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                 observation=None) -> DataFrame:
+    """(id, win_hash) for every content-defined anchor window in every doc.
+
+    ``observation`` (pyspark Observation): when given, the window cap is
+    METERED in the same pass — ``windows_dropped`` (anchors beyond
+    cfg.max_windows_per_doc) and ``docs_capped`` land in the observation
+    after the first action, so the cap is surfaced as lineage instead of
+    silently reading as full coverage.
+    """
     toks = tokens(text_col)
     df = (
         docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
@@ -60,24 +68,49 @@ def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) 
         F.sequence(F.lit(0), last_start),
         lambda i: _anchor_pred(gram(i), cfg),
     )
-    positions = F.slice(positions, 1, cfg.max_windows_per_doc)
+    # materialize the anchor array once per row; n_anchors/slice read it
+    df = df.withColumn("_pos", positions)
+    df = df.withColumn("n_anchors", F.size("_pos")).withColumn(
+        "pos_capped", F.slice("_pos", 1, cfg.max_windows_per_doc)
+    )
+    if observation is not None:
+        df = df.observe(
+            observation,
+            F.sum(F.greatest(F.col("n_anchors") - cfg.max_windows_per_doc, F.lit(0))).alias(
+                "windows_dropped"
+            ),
+            F.sum((F.col("n_anchors") > cfg.max_windows_per_doc).cast("long")).alias(
+                "docs_capped"
+            ),
+            F.count(F.lit(1)).alias("docs_windowed"),
+        )
     win_hash = F.xxhash64(
         F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, cfg.suffix_window))
     )
     return (
-        df.select("id", "toks", F.explode(positions).alias("pos"))
+        df.select("id", "toks", F.explode("pos_capped").alias("pos"))
         .select("id", win_hash.alias("win_hash"))
         .distinct()
     )
 
 
-def suffix_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
-    """docs -> (src, dst) star edges between documents sharing a >=W-token span."""
-    wins = window_table(docs, id_col, text_col, cfg)
+def suffix_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
+                 observation=None) -> DataFrame:
+    """docs -> (src, dst) star edges between documents sharing a >=W-token span.
+
+    The window table feeds both the group-roots aggregate and the member
+    join — persisted so tokenize+anchor-hash runs once, and so the cap
+    observation (if any) meters exactly one pass. Returned edges carry
+    ``_cached_deps``; release via minhash.release_cached_deps after
+    materializing.
+    """
+    wins = window_table(docs, id_col, text_col, cfg, observation=observation).persist()
     roots = wins.groupBy("win_hash").agg(F.min("id").alias("root"), F.count("*").alias("n"))
-    return (
+    edges = (
         wins.join(roots.where(F.col("n") > 1), "win_hash")
         .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .distinct()
     )
+    edges._cached_deps = [wins]
+    return edges

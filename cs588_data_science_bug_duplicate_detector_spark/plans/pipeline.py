@@ -31,11 +31,20 @@ from ..config import DedupConfig
 from ..functions.extract import with_extracted_text
 from ..operators.cc import connected_components
 from ..operators.exact import exact_dup_edges
-from ..operators.minhash import minhash_edges_from_sigs, with_minhash
+from ..operators.minhash import (
+    hot_bucket_stats,
+    minhash_edges_from_sigs,
+    release_cached_deps,
+    with_minhash,
+)
 from ..operators.simhash import simhash_edges_from_sigs, with_simhash
 from ..operators.suffix import suffix_edges
 from ..sources.tableio import TableIO
 
+# suffix is IN the default path: north_star names it as detector 3. Drop it
+# explicitly (detectors=(...)) for latency-sensitive runs; the detector set
+# is part of every stage fingerprint, so switching sets never reuses a
+# stale checkpoint.
 ALL_DETECTORS = ("exact", "minhash", "simhash", "suffix")
 
 
@@ -46,6 +55,12 @@ class PipelineRun:
 
 
 def _fingerprint(df: DataFrame, key: str, cfg: DedupConfig, salt: str) -> str:
+    """count + order-independent content checksum + config hash.
+
+    ``key`` should include the content-bearing columns (e.g. "url, text"),
+    not just the row key — re-crawled pages with unchanged urls but new
+    text must invalidate downstream checkpoints.
+    """
     row = df.agg(
         F.count("*").alias("n"),
         F.coalesce(F.expr(f"bit_xor(xxhash64({key}))"), F.lit(0)).alias("chk"),
@@ -53,35 +68,57 @@ def _fingerprint(df: DataFrame, key: str, cfg: DedupConfig, salt: str) -> str:
     return f"{salt}:{cfg.fingerprint()}:{row['n']}:{row['chk']}"
 
 
+def _partition_histogram(io: TableIO, name: str) -> list[int]:
+    """Per-write-task row counts from parquet footers — metadata only, no
+    data scan (round-1 verdict: the old groupBy(spark_partition_id())
+    re-read every checkpoint just written, a second full pass per stage)."""
+    if io.fmt != "parquet":
+        return []
+    try:
+        import pyarrow.parquet as pq
+
+        path = io._path(name)
+        return [
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    except Exception:
+        return []
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     workdir: str,
     cfg: DedupConfig | None = None,
-    detectors: tuple = ("exact", "minhash", "simhash"),
+    detectors: tuple = ALL_DETECTORS,
     resume: bool = True,
     io: TableIO | None = None,
 ) -> PipelineRun:
     cfg = cfg or DedupConfig()
     io = io or TableIO(workdir)
-    stats: dict = {"stages": {}, "config": cfg.fingerprint(), "detectors": list(detectors)}
+    det_salt = ",".join(sorted(detectors))
+    stats: dict = {
+        "stages": {},
+        "config": cfg.fingerprint(),
+        "detectors": list(detectors),
+        "detector_stats": {},
+    }
 
-    def stage(name: str, input_fp: str, build):
+    def stage(name: str, input_fp: str, build, extra_meta: dict | None = None):
         t0 = time.time()
         if resume and io.valid_checkpoint(name, input_fp):
             stats["stages"][name] = {"resumed": True, "sec": 0.0}
             return io.read(spark, name)
         df = build()
         io.write(df, name)
+        extra = extra_meta() if callable(extra_meta) else (extra_meta or {})
+        release_cached_deps(df)
         out = io.read(spark, name)
-        # per-partition lineage metrics (north_rule): row histogram of the
-        # checkpoint as written, so a resume can audit balance/skew per stage
-        part_rows = [
-            r["n"]
-            for r in out.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
+        # per-partition lineage (north_rule): row histogram from the parquet
+        # footers of the checkpoint as written — metadata-only, no re-scan
+        part_rows = _partition_histogram(io, name)
         n = sum(part_rows)
         io.write_meta(
             name,
@@ -96,13 +133,17 @@ def run_pipeline(
                     "max_rows": max(part_rows) if part_rows else 0,
                 },
                 "detectors": list(detectors),
+                **extra,
             },
         )
         stats["stages"][name] = {"resumed": False, "sec": round(time.time() - t0, 2), "rows": n}
         return out
 
     # --- stage 1: extract/normalize ---------------------------------------
-    pages_fp = _fingerprint(pages, "url", cfg, "pages")
+    # content-bearing checksum: a re-crawl with unchanged urls but new
+    # text/html must invalidate every downstream checkpoint
+    pages_key = "url, text" if "text" in pages.columns else "url"
+    pages_fp = _fingerprint(pages, pages_key, cfg, "pages")
 
     def build_documents():
         df = pages
@@ -118,7 +159,9 @@ def run_pipeline(
     documents = stage("documents", pages_fp, build_documents)
 
     # --- stage 2: signatures ----------------------------------------------
-    docs_fp = _fingerprint(documents, "doc_id", cfg, "documents")
+    # detector set folded into the salt: resuming with a different set must
+    # recompute, never reuse edges/signatures built for the old set
+    docs_fp = _fingerprint(documents, "doc_id, text", cfg, f"documents[{det_salt}]")
 
     def build_signatures():
         df = documents.select("doc_id", "text")
@@ -132,36 +175,57 @@ def run_pipeline(
     signatures = stage("signatures", docs_fp, build_signatures) if needs_signatures else None
 
     # --- stage 3: candidate edges -------------------------------------------
+    from pyspark.sql import Observation
+
+    suffix_obs = Observation("suffix_caps") if "suffix" in detectors else None
+
     def build_edges():
+        det_stats = stats["detector_stats"]
         parts = []
+        deps = []
         if "exact" in detectors:
             parts.append(
                 exact_dup_edges(documents, "doc_id", "text").withColumn("detector", F.lit("exact"))
             )
         if "minhash" in detectors:
-            e, _hot = minhash_edges_from_sigs(
+            e, hot = minhash_edges_from_sigs(
                 signatures.select("doc_id", "minhash"), "doc_id", cfg
             )
+            # summarize the cap while the band table is still cached — hot
+            # buckets must land in lineage, not be silently discarded
+            det_stats["minhash"] = hot_bucket_stats(hot)
+            deps.extend(e._cached_deps)
             parts.append(e.withColumn("detector", F.lit("minhash")))
         if "simhash" in detectors:
-            parts.append(
-                simhash_edges_from_sigs(
-                    signatures.select("doc_id", "simhash"), "doc_id", cfg
-                ).withColumn("detector", F.lit("simhash"))
+            sh_stats: dict = {}
+            e = simhash_edges_from_sigs(
+                signatures.select("doc_id", "simhash"), "doc_id", cfg, stats_out=sh_stats
             )
+            det_stats["simhash"] = sh_stats
+            deps.extend(e._cached_deps)
+            parts.append(e.withColumn("detector", F.lit("simhash")))
         if "suffix" in detectors:
-            parts.append(
-                suffix_edges(documents, "doc_id", "text", cfg).withColumn("detector", F.lit("suffix"))
-            )
+            e = suffix_edges(documents, "doc_id", "text", cfg, observation=suffix_obs)
+            deps.extend(e._cached_deps)
+            parts.append(e.withColumn("detector", F.lit("suffix")))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        out._cached_deps = deps
         return out
 
-    edges = stage("candidate_edges", docs_fp, build_edges)
+    def edges_meta():
+        if suffix_obs is not None:
+            # available once the stage write materialized the window scan
+            stats["detector_stats"]["suffix"] = {
+                k: int(v or 0) for k, v in suffix_obs.get.items()
+            }
+        return {"detector_stats": stats["detector_stats"]}
+
+    edges = stage("candidate_edges", docs_fp, build_edges, extra_meta=edges_meta)
 
     # --- stage 4: connected components -> labels ----------------------------
-    edges_fp = _fingerprint(edges, "src", cfg, "edges")
+    edges_fp = _fingerprint(edges, "src, dst", cfg, f"edges[{det_salt}]")
 
     def build_labels():
         cc = connected_components(

@@ -105,3 +105,56 @@ def test_extraction_byte_identity(spark, pages):
     ext2 = with_extracted_text(pages_df.drop("text"), "html", "text")
     h2 = sorted(ext2.select(F.sha2("text", 256).alias("h")).collect())
     assert h1 == h2
+
+
+def test_detector_set_change_invalidates_edge_checkpoint(spark, pages, tmp_path_factory):
+    """Resuming with a different detector set must rebuild signatures/edges
+    (round-1 advice: the old fingerprint ignored `detectors`, silently
+    reusing edges from the previous set)."""
+    wd = str(tmp_path_factory.mktemp("pipe_det"))
+    pages_df, _, _ = pages
+    run_pipeline(spark, pages_df, wd, DedupConfig(), detectors=("exact", "minhash"))
+    run2 = run_pipeline(
+        spark, pages_df, wd, DedupConfig(), detectors=("exact", "minhash", "simhash")
+    )
+    assert not run2.stats["stages"]["candidate_edges"]["resumed"]
+    assert run2.stats["stages"]["documents"]["resumed"]  # detector-independent stage
+
+
+def test_content_change_invalidates_checkpoints(spark, pages, tmp_path_factory):
+    """Same urls, different text -> new fingerprints (content-bearing
+    checksum, not just the key column)."""
+    wd = str(tmp_path_factory.mktemp("pipe_content"))
+    pages_df, _, _ = pages
+    run_pipeline(spark, pages_df, wd, DedupConfig())
+    recrawled = pages_df.withColumn("text", F.concat(F.col("text"), F.lit(" edited")))
+    run2 = run_pipeline(spark, recrawled, wd, DedupConfig())
+    assert not run2.stats["stages"]["documents"]["resumed"]
+    assert not run2.stats["stages"]["candidate_edges"]["resumed"]
+
+
+def test_cap_metrics_surface_in_stats_and_meta(spark, tmp_path_factory):
+    """Hot-bucket / window caps must land in detector_stats and the stage
+    meta — silent truncation is not allowed to read as full coverage."""
+    import json
+    import os
+
+    wd = str(tmp_path_factory.mktemp("pipe_caps"))
+    base = " ".join(f"w{i}" for i in range(120))
+    rows = [(f"https://ex.com/p/{i}", f"<html><main>{base}</main></html>") for i in range(30)]
+    pages_df = spark.createDataFrame(rows, "url string, html string").withColumn(
+        "html", F.col("html").cast("binary")
+    )
+    cfg = DedupConfig(bucket_cap=10, simhash_chunk_cap=10, max_windows_per_doc=4)
+    run = run_pipeline(spark, pages_df, wd, cfg)
+    det = run.stats["detector_stats"]
+    assert det["minhash"]["hot_buckets"] > 0
+    assert det["simhash"]["hot_chunks"] > 0
+    assert det["suffix"]["windows_dropped"] > 0
+    assert det["suffix"]["docs_capped"] == 30
+    with open(os.path.join(wd, "candidate_edges._meta.json")) as f:
+        meta = json.load(f)
+    assert meta["detector_stats"]["minhash"]["hot_buckets"] > 0
+    # identical docs must still cluster together despite every cap firing
+    labels = {r["cluster_id"] for r in run.labels.collect()}
+    assert len(labels) == 1
