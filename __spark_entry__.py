@@ -73,7 +73,8 @@ def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "text", CFG
     ).select("doc_id", "minhash")
     mh, _hot = minhash_edges_from_sigs(sigs, "doc_id", CFG, string_keys=True)
-    edges = mh.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text")).distinct()
+    # no .distinct(): connected_components dedups the union once internally
+    edges = mh.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text"))
     labels = (
         connected_components(edges, vertices=docs.select("doc_id"))
         .select(F.col("id").alias("doc_id"), "cluster_id")
@@ -269,6 +270,50 @@ def q_embedding_knn(spark, sf_dir):
     )
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (SURVEY training-pipeline op):
+    pairs with cosine >= 0.95, brute-force within the query scope (the
+    exact small-scale oracle path; the LSH-bucketed variant is
+    ann_lsh_topk). The driver's embeddings table has no natural near-dups
+    (max pair cosine 0.44 at sf0.01), so the query PLANTS deterministic
+    near-copies (+0.01 per component, id-shifted) in BOTH engines —
+    a 0-row result would prove nothing."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ann import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).where(F.col("vec_id") < 200)
+    planted = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(100_000)).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01)).alias("v"),
+    )
+    both = emb.unionByName(planted)
+    a = both.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = both.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("src") < F.col("dst"))
+        .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.95)
+        .select("src", "dst", F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Doc-quality scoring summary per lang (training-pipeline op)."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("q", quality_score("text"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum(F.when(F.col("q") < 0.5, 1).otherwise(0)).alias("n_low_quality"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """The scale-path ANN (hyperplane LSH buckets -> exact rescore),
     oracle-checked against a DuckDB replica with identical plane constants
@@ -314,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": q_lang_guess_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_knn": q_embedding_knn,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "quality_scores": q_quality_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
         "minhash_clusters": q_minhash_clusters,
         "simhash_candidates": q_simhash_candidates,
@@ -501,6 +548,38 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
               WHERE a.vec_id < 50
             ) WHERE rnk <= 3
+        """,
+        "embedding_dup_pairs": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+            ), allv AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM base WHERE vec_id < 40
+            )
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        """,
+        "quality_scores": f"""
+            SELECT lang, ROUND(AVG(q), 6) AS avg_quality,
+                   SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS n_low_quality,
+                   COUNT(*) AS n_docs
+            FROM (
+              SELECT lang,
+                (least(n_tok / 100.0, 1.0)
+                 + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+                 + least(CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END * 4.0, 1.0)) / 3.0 AS q
+              FROM (
+                SELECT lang,
+                  CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+                  CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars,
+                  CAST(length(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha,
+                  CAST({_stopword_hits_sql('en')} AS DOUBLE) AS sw
+                FROM documents))
+            GROUP BY lang
         """,
         "ann_lsh_topk": portable.ann_lsh_sql(dim=64, k=3, n_bits=8, n_tables=4, seed=42),
         "minhash_clusters": portable.minhash_clusters_sql(CFG),

@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "top_docs_per_lang",
     "active_customers_by_nation",
     "lang_guess_counts",
+    # round 2 additions
+    "ann_lsh_topk",
+    "embedding_dup_pairs",
+    "quality_scores",
 ]
 
 

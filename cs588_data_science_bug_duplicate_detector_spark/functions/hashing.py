@@ -76,10 +76,15 @@ def _segments(token_lists: pd.Series, shingle_k: int) -> tuple[np.ndarray, np.nd
 
 
 def minhash_signatures(
-    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray
+    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray,
+    token_lists: pd.Series | None = None,
 ) -> np.ndarray:
-    """(n_docs, num_perm) int64 MinHash signature matrix for a batch of texts."""
-    token_lists = tokenize_series(texts)
+    """(n_docs, num_perm) int64 MinHash signature matrix for a batch of texts.
+
+    Pass ``token_lists`` to reuse an existing tokenization (the dual-signature
+    path tokenizes once for both kernels)."""
+    if token_lists is None:
+        token_lists = tokenize_series(texts)
     if len(token_lists) == 0:
         return np.empty((0, len(a)), dtype=np.int64)
     flat, offsets = _segments(token_lists, shingle_k)
@@ -101,13 +106,14 @@ def shingle_set(text: str, shingle_k: int) -> set:
     return {" ".join(toks)} if toks else {""}
 
 
-def simhash_signatures(texts: pd.Series) -> np.ndarray:
+def simhash_signatures(texts: pd.Series, token_lists: pd.Series | None = None) -> np.ndarray:
     """64-bit SimHash per doc (int64 view), vectorized over the batch.
 
     Token hash bits vote +1/-1 per position; sign of the per-doc sum
     gives the signature bit.
     """
-    token_lists = tokenize_series(texts)
+    if token_lists is None:
+        token_lists = tokenize_series(texts)
     n = len(token_lists)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -142,6 +148,19 @@ def simhash_signatures(texts: pd.Series) -> np.ndarray:
     shifts = np.arange(64, dtype=np.uint64)
     sig = (majority.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
     return sig.view(np.int64)
+
+
+def dual_signatures(
+    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(minhash matrix, simhash vector) for one batch — ONE tokenization
+    pass shared by both kernels (tokenize is a large slice of the
+    signature phase, and this phase dominates the whole job at scale)."""
+    token_lists = tokenize_series(texts)
+    return (
+        minhash_signatures(texts, shingle_k, a, b, token_lists=token_lists),
+        simhash_signatures(texts, token_lists=token_lists),
+    )
 
 
 def hamming64(x: int, y: int) -> int:

@@ -16,7 +16,7 @@ plans otherwise grow unboundedly — SURVEY.md §4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -48,14 +48,13 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _edge_summary(e: DataFrame) -> tuple[int, int]:
+def _summary_metrics():
     # bit_xor: overflow-free (ANSI mode) and order-independent checksum of the
     # distinct edge set; equal (count, checksum) across rounds => converged.
-    row = e.agg(
-        F.count("*").alias("n"),
+    return (
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("chk"),
-    ).collect()[0]
-    return int(row["n"]), int(row["chk"])
+    )
 
 
 def connected_components(
@@ -64,17 +63,25 @@ def connected_components(
     max_iter: int = 50,
     on_iteration=None,
     reliable: bool = False,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(id)] -> labels(id, cluster_id=min member).
 
     Vertices absent from any edge become singleton clusters (their own id)
-    when ``vertices`` is supplied.
+    when ``vertices`` is supplied. ``pre_deduped=True`` skips the initial
+    distinct() when the caller already dedup'd the edge set (saves a full
+    shuffle — callers like the pipeline otherwise pay it twice).
 
     Lineage is truncated every round. Default is ``localCheckpoint`` (memory,
     no disk round-trip — the rounds are the latency-critical serial section);
     pass ``reliable=True`` for HDFS-style checkpoints when executor loss must
     not restart the loop. Job-level resume is handled one level up by the
     pipeline's edge/label stage checkpoints either way.
+
+    The convergence summary (count + order-independent checksum) rides the
+    SAME job as each round's checkpoint via ``observe`` — no separate
+    aggregate job per round (the per-round fixed costs are what keep CC
+    from scaling at small corpus sizes).
     """
     sc = edges.sparkSession.sparkContext
     if reliable and sc._jsc.sc().getCheckpointDir().isEmpty():
@@ -83,18 +90,26 @@ def connected_components(
 
         sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "dupdetect-ckpt"))
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    def _ckpt_with_summary(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        obs = Observation()
+        df = df.observe(obs, *_summary_metrics())
+        out = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        got = obs.get
+        return out, (int(got["n"] or 0), int(got["chk"] or 0))
 
-    e = _ckpt(
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    init = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).where(
+        F.col("src") != F.col("dst")
     )
-    prev = _edge_summary(e)
+    if not pre_deduped:
+        init = init.distinct()
+    # ALWAYS checkpoint the init set (even off a caller-persisted DF): the
+    # round plans self-union the edges, and Spark's relation-dedup rewrites
+    # expression ids in the union branches, which can MISS the outer cache
+    # and silently recompute the whole upstream detect pipeline per round
+    # (measured: 43s vs 2.6s for round 0 at 400k docs).
+    e, prev = _ckpt_with_summary(init)
     for it in range(max_iter):
-        e_next = _ckpt(_small_star(_large_star(e)))
-        cur = _edge_summary(e_next)
+        e_next, cur = _ckpt_with_summary(_small_star(_large_star(e)))
         if on_iteration is not None:
             on_iteration(it, cur[0])
         e.unpersist()

@@ -8,7 +8,7 @@ near-dup clusters sharing members.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -17,10 +17,11 @@ def text_hash_col(text_col: str):
 
 
 def exact_dup_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # min-over-window instead of groupBy+join-back: one shuffle, one stage
     h = docs.select(F.col(id_col).alias("id"), text_hash_col(text_col).alias("h"))
-    roots = h.groupBy("h").agg(F.min("id").alias("root"), F.count("*").alias("n"))
+    root = F.min("id").over(Window.partitionBy("h"))
     return (
-        h.join(roots.where(F.col("n") > 1), "h")
+        h.withColumn("root", root)
         .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
     )

@@ -46,6 +46,29 @@ def with_minhash(df: DataFrame, text_col: str, cfg: DedupConfig, out_col: str = 
     return df.withColumn(out_col, minhash_udf(cfg)(F.col(text_col)))
 
 
+def with_dual_signatures(df: DataFrame, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """Add BOTH ``minhash`` and ``simhash`` columns in ONE Arrow pass.
+
+    One UDF = one JVM->Python text transfer and one tokenization shared by
+    both kernels — the signature phase is the throughput driver at 10^12
+    docs, and two separate UDFs paid the text shuffle + tokenize twice.
+    """
+    shingle_k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.seed
+
+    def _dual_batch(texts: pd.Series) -> pd.DataFrame:
+        a, b = hashing.minhash_perms(num_perm, seed)
+        mh, sh = hashing.dual_signatures(texts, shingle_k, a, b)
+        return pd.DataFrame({"minhash": list(mh), "simhash": sh})
+
+    udf = pandas_udf(_dual_batch, "minhash array<long>, simhash long")
+    return (
+        df.withColumn("_sig", udf(F.col(text_col)))
+        .withColumn("minhash", F.col("_sig.minhash"))
+        .withColumn("simhash", F.col("_sig.simhash"))
+        .drop("_sig")
+    )
+
+
 def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash",
                string_keys: bool = False) -> DataFrame:
     """(id, band_key): one row per band per doc, JVM-side only.
@@ -191,27 +214,52 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     survives the cap. The returned edges carry ``_cached_deps`` (the
     persisted band/pair tables) — callers should ``release_cached_deps``
     after materializing.
+
+    Plan shape: ONE window pass over the band table computes bucket size
+    and bucket root together (count/min over partitionBy(band_key)), so
+    the cap split, the star edges, and the pair self-join all read the
+    same shuffled+persisted table — no separate size aggregation, no
+    driver-side broadcast barrier, and the self-join is co-partitioned on
+    band_key. (The earlier groupBy-sizes + broadcast-anti-join shape cost
+    ~3 extra stage barriers per run; per-phase profiling showed those
+    fixed costs were the main drag on N->4N scaling efficiency.)
     """
-    # persist: bands feed the cap pass, the pair join, and the hot-star pass —
-    # without it the 32M-row explode+hash recomputes per consumer
-    bands = band_table(sigs, id_col, cfg, string_keys=string_keys).persist()
-    ok, hot = capped_buckets(bands, cfg)
+    from pyspark.sql import Window
+
+    bands = band_table(sigs, id_col, cfg, string_keys=string_keys)
+    if num_partitions:
+        bands = bands.repartition(num_partitions, "band_key")
+    w = Window.partitionBy("band_key")
+    bw = (
+        bands.withColumn("bucket_size", F.count("*").over(w))
+        .withColumn("root", F.min("id").over(w))
+        .persist()
+    )
+    ok = bw.where(F.col("bucket_size") <= cfg.bucket_cap).select("band_key", "id")
+    hot = (
+        bw.where(F.col("bucket_size") > cfg.bucket_cap)
+        .select("band_key", "bucket_size")
+        .distinct()
+    )
+    # hot-bucket star edges: linear in bucket size, verified like any pair
+    star = (
+        bw.where((F.col("bucket_size") > cfg.bucket_cap) & (F.col("id") != F.col("root")))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
     # persist: the auto/ambiguous split reads the pair table twice — without
     # it the whole LSH bucket join runs twice.
-    pairs = candidate_pairs(ok, cfg, num_partitions).persist()
+    pairs = candidate_pairs(ok, cfg).persist()
     # hybrid verify: high-band-match pairs (the quadratic bulk — exact dups,
     # template farms) are accepted outright; only the statistically ambiguous
     # low-match tail pays the signature-join shuffle.
     auto = pairs.where(F.col("n_bands") >= cfg.auto_accept_bands).select("src", "dst")
     ambiguous = pairs.where(F.col("n_bands") < cfg.auto_accept_bands).select("src", "dst")
-    # hot-bucket star edges are verified exactly like joined pairs — the cap
-    # trades quadratic volume for linear, never precision
-    star = hot_bucket_star_edges(bands, hot).select("src", "dst")
     verified = verify_pairs(
         ambiguous.unionByName(star), sigs, id_col, cfg
     ).select("src", "dst")
     edges = auto.unionByName(verified).distinct()
-    edges._cached_deps = [bands, pairs]
+    edges._cached_deps = [bw, pairs]
     return edges, hot
 
 

@@ -59,19 +59,34 @@ def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     to surface the cap as lineage metrics (hot chunk count / capped rows /
     max bucket) — computed from the persisted chunk table, no extra scan.
     """
-    chunks = chunk_table(sigs, id_col, cfg).persist()
-    sizes = chunks.groupBy("chunk_id", "chunk_val").agg(F.count("*").alias("n"))
-    hot = sizes.where(F.col("n") > cfg.simhash_chunk_cap).select("chunk_id", "chunk_val")
-    if stats_out is not None:
-        row = sizes.where(F.col("n") > cfg.simhash_chunk_cap).agg(
-            F.count("*").alias("hot_chunks"),
-            F.coalesce(F.sum("n"), F.lit(0)).alias("rows_in_hot_chunks"),
-            F.coalesce(F.max("n"), F.lit(0)).alias("max_chunk_size"),
-        ).collect()[0]
-        stats_out.update({k: int(row[k]) for k in row.asDict()})
-    ok = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"], "left_anti")
+    from pyspark.sql import Window
+
+    chunks = chunk_table(sigs, id_col, cfg)
     if num_partitions:
-        ok = ok.repartition(num_partitions, "chunk_id", "chunk_val")
+        chunks = chunks.repartition(num_partitions, "chunk_id", "chunk_val")
+    # one window pass: bucket size + bucket root (min id, with its sig for
+    # the Hamming verify) over the chunk key — no size aggregation round
+    # trip, no broadcast barrier; the self-join below is co-partitioned
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    cw = (
+        chunks.withColumn("n", F.count("*").over(w))
+        .withColumn("r", F.min(F.struct("id", "sig")).over(w))
+        .persist()
+    )
+    if stats_out is not None:
+        row = (
+            cw.where(F.col("n") > cfg.simhash_chunk_cap)
+            .select("chunk_id", "chunk_val", "n")
+            .distinct()
+            .agg(
+                F.count("*").alias("hot_chunks"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("rows_in_hot_chunks"),
+                F.coalesce(F.max("n"), F.lit(0)).alias("max_chunk_size"),
+            )
+            .collect()[0]
+        )
+        stats_out.update({k: int(row[k]) for k in row.asDict()})
+    ok = cw.where(F.col("n") <= cfg.simhash_chunk_cap).select("chunk_id", "chunk_val", "id", "sig")
     ham = F.expr("bit_count(a.sig ^ b.sig)")
     a = ok.alias("a")
     b = ok.alias("b")
@@ -81,18 +96,13 @@ def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
         .where(ham <= F.lit(cfg.simhash_hamming_max))
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
     )
-    members = chunks.join(F.broadcast(hot), ["chunk_id", "chunk_val"])
-    roots = members.groupBy("chunk_id", "chunk_val").agg(
-        F.min_by(F.struct("id", "sig"), "id").alias("r")
-    )
     star = (
-        members.join(roots, ["chunk_id", "chunk_val"])
-        .where(F.col("id") != F.col("r.id"))
+        cw.where((F.col("n") > cfg.simhash_chunk_cap) & (F.col("id") != F.col("r.id")))
         .where(F.expr("bit_count(sig ^ r.sig)") <= F.lit(cfg.simhash_hamming_max))
         .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
     )
     edges = joined.unionByName(star).distinct()
-    edges._cached_deps = [chunks]  # release via minhash.release_cached_deps after materializing
+    edges._cached_deps = [cw]  # release via minhash.release_cached_deps after materializing
     return edges
 
 

@@ -98,19 +98,17 @@ def suffix_edges(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
                  observation=None) -> DataFrame:
     """docs -> (src, dst) star edges between documents sharing a >=W-token span.
 
-    The window table feeds both the group-roots aggregate and the member
-    join — persisted so tokenize+anchor-hash runs once, and so the cap
-    observation (if any) meters exactly one pass. Returned edges carry
-    ``_cached_deps``; release via minhash.release_cached_deps after
-    materializing.
+    min-over-window instead of groupBy+join-back: the window table is read
+    once (tokenize+anchor-hash single pass — also where the cap
+    observation, if any, meters drops), shuffled once by win_hash.
     """
-    wins = window_table(docs, id_col, text_col, cfg, observation=observation).persist()
-    roots = wins.groupBy("win_hash").agg(F.min("id").alias("root"), F.count("*").alias("n"))
-    edges = (
-        wins.join(roots.where(F.col("n") > 1), "win_hash")
+    from pyspark.sql import Window
+
+    wins = window_table(docs, id_col, text_col, cfg, observation=observation)
+    root = F.min("id").over(Window.partitionBy("win_hash"))
+    return (
+        wins.withColumn("root", root)
         .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .distinct()
     )
-    edges._cached_deps = [wins]
-    return edges

@@ -35,6 +35,7 @@ from ..operators.minhash import (
     hot_bucket_stats,
     minhash_edges_from_sigs,
     release_cached_deps,
+    with_dual_signatures,
     with_minhash,
 )
 from ..operators.simhash import simhash_edges_from_sigs, with_simhash
@@ -165,9 +166,11 @@ def run_pipeline(
 
     def build_signatures():
         df = documents.select("doc_id", "text")
-        if "minhash" in detectors:
+        if {"minhash", "simhash"} <= set(detectors):
+            df = with_dual_signatures(df, "text", cfg)  # one Arrow pass for both
+        elif "minhash" in detectors:
             df = with_minhash(df, "text", cfg)
-        if "simhash" in detectors:
+        elif "simhash" in detectors:
             df = with_simhash(df, "text")
         return df.drop("text")
 
@@ -194,7 +197,7 @@ def run_pipeline(
             # summarize the cap while the band table is still cached — hot
             # buckets must land in lineage, not be silently discarded
             det_stats["minhash"] = hot_bucket_stats(hot)
-            deps.extend(e._cached_deps)
+            deps.extend(getattr(e, "_cached_deps", []))
             parts.append(e.withColumn("detector", F.lit("minhash")))
         if "simhash" in detectors:
             sh_stats: dict = {}
@@ -202,11 +205,11 @@ def run_pipeline(
                 signatures.select("doc_id", "simhash"), "doc_id", cfg, stats_out=sh_stats
             )
             det_stats["simhash"] = sh_stats
-            deps.extend(e._cached_deps)
+            deps.extend(getattr(e, "_cached_deps", []))
             parts.append(e.withColumn("detector", F.lit("simhash")))
         if "suffix" in detectors:
             e = suffix_edges(documents, "doc_id", "text", cfg, observation=suffix_obs)
-            deps.extend(e._cached_deps)
+            deps.extend(getattr(e, "_cached_deps", []))
             parts.append(e.withColumn("detector", F.lit("suffix")))
         out = parts[0]
         for p in parts[1:]:
@@ -228,8 +231,9 @@ def run_pipeline(
     edges_fp = _fingerprint(edges, "src, dst", cfg, f"edges[{det_salt}]")
 
     def build_labels():
+        # no .distinct() here: connected_components dedups once internally
         cc = connected_components(
-            edges.select("src", "dst").distinct(),
+            edges.select("src", "dst"),
             vertices=documents.select("doc_id"),
         )
         return documents.select("url", "doc_id").join(

@@ -45,24 +45,35 @@ def run_once(cores: int) -> dict:
     from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
     from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
     from cs588_data_science_bug_duplicate_detector_spark.operators.exact import exact_dup_edges
-    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges_from_sigs, with_minhash
-    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges_from_sigs, with_simhash
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+        minhash_edges_from_sigs,
+        with_dual_signatures,
+    )
+    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges_from_sigs
     from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
 
     cfg = DedupConfig()
     spark = get_spark("scale-bench", cores=cores, shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("ERROR")
+    # no repartition: the corpus files already split evenly (maxPartitionBytes)
+    # and a hash exchange of the full text payload is the worst-scaling op on
+    # this host (see BENCH/BASELINE.md shuffle microbenchmark)
     docs = (
         spark.read.parquet(CORPUS)
         .select(F.xxhash64("url").alias("doc_id"), "text")
-        .repartition(2 * cores)
         .persist()
     )
     # staged shape (same as plans/pipeline.py): signatures are computed ONCE
     # and shared by every detector — composing the detector functions directly
     # would re-evaluate the signature UDFs in each self-join branch.
     t0 = time.time()
-    sigs = with_simhash(with_minhash(docs, "text", cfg), "text").drop("text").persist()
+    if os.environ.get("SIGN_MODE") == "chained":
+        from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
+        from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
+
+        sigs = with_simhash(with_minhash(docs, "text", cfg), "text").drop("text").persist()
+    else:
+        sigs = with_dual_signatures(docs, "text", cfg).drop("text").persist()
     sigs.count()
     t_sign = time.time() - t0
     mh, _hot = minhash_edges_from_sigs(sigs.select("doc_id", "minhash"), "doc_id", cfg)
@@ -74,7 +85,8 @@ def run_once(cores: int) -> dict:
     )
     n_edges = edges.count()
     t_detect = time.time() - t0
-    labels = connected_components(edges, vertices=docs.select("doc_id"))
+    # edges are already distinct + persisted: skip CC's internal dedup shuffle
+    labels = connected_components(edges, vertices=docs.select("doc_id"), pre_deduped=True)
     n_labels = labels.count()
     n_clusters = labels.select("cluster_id").distinct().count()
     sec = time.time() - t0

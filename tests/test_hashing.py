@@ -90,3 +90,16 @@ def test_empty_and_edge_inputs():
     assert hashing.simhash_signatures(pd.Series([], dtype=object)).shape == (0,)
     sig = hashing.minhash_signatures(pd.Series([None, ""]), 5, a, b)
     assert np.array_equal(sig[0], sig[1])  # null == empty text
+
+
+def test_dual_signatures_match_individual_kernels():
+    import numpy as np
+    import pandas as pd
+
+    from cs588_data_science_bug_duplicate_detector_spark.functions import hashing
+
+    texts = pd.Series(["a b c d e f g", "", "x y", "a b c d e f g h i j k l m"])
+    a, b = hashing.minhash_perms(16, 42)
+    mh, sh = hashing.dual_signatures(texts, 5, a, b)
+    assert np.array_equal(mh, hashing.minhash_signatures(texts, 5, a, b))
+    assert np.array_equal(sh, hashing.simhash_signatures(texts))
