@@ -100,29 +100,15 @@ def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "m
     return sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
 
 
-def capped_buckets(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    """Split band table into (within-cap rows, hot-bucket summary).
+def capped_band_table(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One window pass over the band table: + bucket_size, + root (min id)
+    per bucket. The cap split, the hot-bucket star edges, and the pair
+    self-join all derive from this single shuffled table."""
+    from pyspark.sql import Window
 
-    Hot buckets are NOT silently dropped: the summary (band_id, band_hash,
-    bucket_size) is returned for metrics/lineage, and callers keep intra-
-    bucket connectivity via ``hot_bucket_star_edges``.
-    """
-    sizes = bands.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
-    hot = sizes.where(F.col("bucket_size") > cfg.bucket_cap)
-    ok = bands.join(F.broadcast(hot.select("band_key")), ["band_key"], "left_anti")
-    return ok, hot
-
-
-def hot_bucket_star_edges(bands: DataFrame, hot: DataFrame) -> DataFrame:
-    """min-member star edges inside each capped bucket (keeps connectivity
-    linear in bucket size instead of quadratic)."""
-    members = bands.join(F.broadcast(hot.select("band_key")), ["band_key"])
-    roots = members.groupBy("band_key").agg(F.min("id").alias("root"))
-    return (
-        members.join(roots, ["band_key"])
-        .where(F.col("id") != F.col("root"))
-        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
-        .distinct()
+    w = Window.partitionBy("band_key")
+    return bands.withColumn("bucket_size", F.count("*").over(w)).withColumn(
+        "root", F.min("id").over(w)
     )
 
 
@@ -224,17 +210,10 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     ~3 extra stage barriers per run; per-phase profiling showed those
     fixed costs were the main drag on N->4N scaling efficiency.)
     """
-    from pyspark.sql import Window
-
     bands = band_table(sigs, id_col, cfg, string_keys=string_keys)
     if num_partitions:
         bands = bands.repartition(num_partitions, "band_key")
-    w = Window.partitionBy("band_key")
-    bw = (
-        bands.withColumn("bucket_size", F.count("*").over(w))
-        .withColumn("root", F.min("id").over(w))
-        .persist()
-    )
+    bw = capped_band_table(bands, cfg).persist()
     ok = bw.where(F.col("bucket_size") <= cfg.bucket_cap).select("band_key", "id")
     hot = (
         bw.where(F.col("bucket_size") > cfg.bucket_cap)

@@ -7,9 +7,8 @@ from pyspark.sql import functions as F
 from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
 from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
     band_table,
-    capped_buckets,
+    capped_band_table,
     candidate_pairs,
-    hot_bucket_star_edges,
     minhash_edges,
     verify_pairs,
     with_minhash,
@@ -44,12 +43,17 @@ def test_band_table_shape_and_determinism(spark, corpus):
 def test_hot_bucket_cap_preserves_connectivity(spark, corpus):
     cfg = DedupConfig(bucket_cap=10)  # 30 identical docs > cap
     sigs = with_minhash(corpus, "text", cfg)
-    bands = band_table(sigs, "doc_id", cfg)
-    ok, hot = capped_buckets(bands, cfg)
+    bw = capped_band_table(band_table(sigs, "doc_id", cfg), cfg)
+    hot = bw.where(F.col("bucket_size") > cfg.bucket_cap).select("band_key").distinct()
     assert hot.count() == cfg.bands  # every band's bucket for the clones is hot
+    ok = bw.where(F.col("bucket_size") <= cfg.bucket_cap)
     assert ok.where(F.col("id") < 100).count() == 0  # clones fully capped
-    star = hot_bucket_star_edges(bands, hot)
-    got = {(r["src"], r["dst"]) for r in star.collect()}
+    star = (
+        bw.where((F.col("bucket_size") > cfg.bucket_cap) & (F.col("id") != F.col("root")))
+        .select("root", "id")
+        .distinct()
+    )
+    got = {(r["root"], r["id"]) for r in star.collect()}
     # min member 0 connects every other clone: linear, not quadratic
     assert got == {(0, i) for i in range(1, 30)}
 
