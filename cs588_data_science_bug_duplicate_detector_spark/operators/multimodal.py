@@ -1,16 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed through mapInPandas.
 
-The decode kernels are STUBS (no image/audio libs in this container — see
-``DecoderUnavailable``): the Spark-side contract — schemas, batch shapes,
-partitioning, deterministic fake features for tests — is real and tested.
-Swapping in PIL/librosa later changes only ``_decode_image_batch`` /
-``_frame_sample_batch`` bodies, nothing in the dataflow.
+Decode support is REAL for the formats the standard library + numpy can
+parse — 24-bit uncompressed BMP images and PCM WAV audio (encoders
+included for fixtures; round-trip tested) — with grid-mean image features,
+banded-RMS audio features, and nearest-neighbor resize as genuine numpy
+kernels. Compressed formats (JPEG/PNG/MP3/video containers) require
+external codecs absent from this container and raise ``DecoderUnavailable``
+(swapping in PIL/librosa/av changes only the per-format branch in
+``decode_media``, nothing in the dataflow). A deterministic fake-feature
+path remains for dataflow tests that don't care about pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -29,7 +36,116 @@ FEATURE_DIM = 16
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real-decoder path; tests exercise the fake path."""
+    """Raised for formats that need external codecs (JPEG/PNG/MP3/video)."""
+
+
+# ---------------------------------------------------------------------------
+# real codecs (stdlib + numpy only): 24-bit BMP, PCM WAV
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up rows,
+    4-byte row padding — the baseline Windows DIB layout)."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[y, :, ::-1].tobytes()  # BMP stores BGR
+        body += bgr + b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise DecoderUnavailable(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h), offset=pixel_offset)
+    rows = buf.reshape(abs(h), stride)[:, :row].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]  # bottom-up -> top-down
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib ``wave``)."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (int16 mono samples, sample_rate). Multi-channel
+    input is averaged to mono."""
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise DecoderUnavailable("only 16-bit PCM WAV supported")
+        rate = wv.getframerate()
+        frames = np.frombuffer(wv.readframes(wv.getnframes()), dtype="<i2")
+        ch = wv.getnchannels()
+    if ch > 1:
+        frames = frames.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return frames, rate
+
+
+def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather — pure numpy, deterministic."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def image_grid_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Mean grayscale intensity over a sqrt(dim) x sqrt(dim) grid -> [0,1]
+    feature. Images smaller than the grid are upsampled (nearest) first."""
+    g = pixels.mean(axis=2) if pixels.ndim == 3 else pixels.astype(np.float64)
+    side = int(np.sqrt(dim))
+    if min(g.shape) < side:
+        g = resize_image(g[..., None], max(side, g.shape[0]), max(side, g.shape[1]))[..., 0]
+    hs = np.array_split(np.arange(g.shape[0]), side)
+    ws = np.array_split(np.arange(g.shape[1]), side)
+    small = np.array([[g[np.ix_(a, b)].mean() for b in ws] for a in hs])
+    return (small.astype(np.float32) / 255.0).reshape(-1)[:dim]
+
+
+def audio_band_feature(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """RMS energy over ``dim`` equal time bands, normalized to [0,1]."""
+    if len(samples) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    bands = np.array_split(samples.astype(np.float64) / 32768.0, dim)
+    return np.array([np.sqrt((b**2).mean()) if len(b) else 0.0 for b in bands], dtype=np.float32)
+
+
+def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
+    """Real decode -> FEATURE_DIM feature. Raises DecoderUnavailable for
+    formats needing external codecs."""
+    mime = (mime or "").lower()
+    if kind == "image" and (mime in ("image/bmp", "") or payload[:2] == b"BM"):
+        return image_grid_feature(decode_bmp(payload))
+    if kind == "audio" and (mime in ("audio/wav", "audio/x-wav", "") or payload[:4] == b"RIFF"):
+        samples, _rate = decode_wav(payload)
+        return audio_band_feature(samples)
+    raise DecoderUnavailable(
+        f"no in-container codec for kind={kind} mime={mime!r} "
+        "(JPEG/PNG need PIL, MP3 needs librosa, video needs av/ffmpeg)"
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -49,11 +165,12 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     def run(batches):
         for pdf in batches:
             if use_real_decoder:
-                raise DecoderUnavailable(
-                    "real image/audio decoding requires PIL/librosa; "
-                    "not installed in this environment"
-                )
-            feats = [_fake_feature(p) for p in pdf["payload"]]
+                feats = [
+                    decode_media(k, m, p)
+                    for k, m, p in zip(pdf["kind"], pdf["mime"], pdf["payload"])
+                ]
+            else:
+                feats = [_fake_feature(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -60,3 +60,85 @@ def test_sample_frames_explosion(spark, media):
 def test_media_dedup_edges(spark, media):
     edges = {(r["src"], r["dst"]) for r in media_dedup_edges(media).collect()}
     assert edges == {(1, 2)}
+
+
+# --- real codecs (stdlib+numpy: 24-bit BMP, PCM WAV) -----------------------
+
+def test_bmp_round_trip():
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(8, 8), (5, 7), (16, 3)]:  # odd widths exercise row padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_wav_round_trip_and_feature():
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        audio_band_feature,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(16000)
+    samples = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000 and np.array_equal(out, samples)
+    f = audio_band_feature(samples)
+    assert f.shape == (16,) and np.all(f > 0.3)  # steady tone: energy everywhere
+    silent = audio_band_feature(np.zeros(1000, dtype=np.int16))
+    assert np.allclose(silent, 0.0)
+
+
+def test_resize_and_grid_feature():
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        image_grid_feature,
+        resize_image,
+    )
+
+    px = np.zeros((64, 64, 3), dtype=np.uint8)
+    px[:32] = 255  # top half white
+    small = resize_image(px, 8, 8)
+    assert small.shape == (8, 8, 3)
+    f = image_grid_feature(px)
+    assert f.shape == (16,)
+    assert np.allclose(f[:8], 1.0) and np.allclose(f[8:], 0.0)  # top rows bright
+
+
+def test_extract_features_real_decoder_dataflow(spark):
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_media,
+        encode_bmp,
+        encode_wav,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(9)
+    bmp = encode_bmp(rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8))
+    wav = encode_wav((rng.standard_normal(4000) * 10000).astype(np.int16))
+    rows = [
+        (1, "image", bytearray(bmp), "image/bmp", 12, 12, None),
+        (2, "audio", bytearray(wav), "audio/wav", None, None, 250),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in extract_features(media, use_real_decoder=True).collect()}
+    assert len(got[1]["feature"]) == 16 and len(got[2]["feature"]) == 16
+    assert got[1]["n_bytes"] == len(bmp)
+    # compressed formats still fail loudly, not silently
+    try:
+        decode_media("image", "image/jpeg", b"\xff\xd8\xff")
+        raise AssertionError("expected DecoderUnavailable")
+    except DecoderUnavailable:
+        pass
