@@ -121,6 +121,11 @@ def main() -> None:
     # shared-host noise: identical legs vary +-40% run to run; min-of-R is
     # the standard robust estimator
     ap.add_argument("--repeats", type=int, default=2)
+    # paired mode: run (N, 4N) back-to-back per round and report the MEDIAN
+    # of per-pair ratios — adjacent legs see similar host conditions, so the
+    # ratio is far less biased than min-of-independent-samples when
+    # co-tenant load drifts over minutes
+    ap.add_argument("--paired", type=int, default=0, help="number of adjacent (N,4N) pairs")
     args = ap.parse_args()
 
     if args.cores:
@@ -133,6 +138,38 @@ def main() -> None:
     assert len(levels) == 2 and levels[1] == 4 * levels[0], "levels must be N,4N"
     results = {}
     have_taskset = subprocess.run(["which", "taskset"], capture_output=True).returncode == 0
+
+    def run_pinned(cores: int) -> dict:
+        prefix = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
+        proc = subprocess.run(
+            prefix + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        return json.loads(line[len("RESULT "):])
+
+    if args.paired:
+        pairs = []
+        for i in range(args.paired):
+            hi = run_pinned(levels[1])
+            lo = run_pinned(levels[0])
+            pairs.append({
+                "lo_sec": lo["sec"], "hi_sec": hi["sec"],
+                "efficiency": round(lo["sec"] / hi["sec"] / 4.0, 3),
+            })
+            print(json.dumps(pairs[-1]), flush=True)
+        effs = sorted(p["efficiency"] for p in pairs)
+        summary = {
+            "docs": args.docs,
+            "pairs": pairs,
+            "median_pair_efficiency": effs[len(effs) // 2],
+            "best_pair_efficiency": effs[-1],
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scaling_paired.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return
     for cores in levels:
         # pin CPU affinity: local[N] alone doesn't bound CPUs — Python UDF
         # workers run on extra cores, silently inflating the low-N run.
