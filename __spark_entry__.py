@@ -209,12 +209,14 @@ def q_retrieval_metrics(spark, sf_dir):
 
 
 def q_docs_by_source_list(spark, sf_dir):
-    """A4 group->member-list (≙ cluster_to_indices, /root/reference/src/data.py:80-90),
-    surfaced as a csv string for engine-neutral value hashing."""
+    """A4 group->member-list via the package API (plans.bug_reports.group_members)."""
+    from cs588_data_science_bug_duplicate_detector_spark.plans.bug_reports import group_members
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids_csv"),
+    return group_members(docs, "source", "doc_id").select(
+        "source",
+        F.col("n_members").alias("n_docs"),
+        F.col("member_ids_csv").alias("doc_ids_csv"),
     )
 
 

@@ -111,3 +111,14 @@ def dataset_stats(processed: DataFrame) -> dict:
     out = row.asDict()
     out["total_reports"] = processed.count()
     return out
+
+
+def group_members(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """Group -> sorted member id list (SURVEY.md A4 ≙ cluster_to_indices,
+    /root/reference/src/data.py:80-90): one row per group with
+    (group, n_members, member list + csv form for engine-neutral hashing)."""
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_members"),
+        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        F.array_join(F.sort_array(F.collect_list(id_col)), ",").alias("member_ids_csv"),
+    )
