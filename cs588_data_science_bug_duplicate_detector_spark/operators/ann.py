@@ -90,6 +90,23 @@ def hyperplane_udf(dim: int, n_bits: int, seed: int = 42):
     return pandas_udf(_bucket, IntegerType())
 
 
+def _bucket_tables(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed: int) -> DataFrame:
+    """(id, bucket, table_id) across all hash tables — ids only, vectors are
+    NOT carried into the bucket join (they rejoin for the rescore)."""
+    tables = []
+    for t in range(n_tables):
+        udf = hyperplane_udf(dim, n_bits, seed + t)
+        tables.append(
+            df.select("id", udf(F.col("vec")).alias("bucket")).withColumn(
+                "table_id", F.lit(t)
+            )
+        )
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def lsh_topk(
     vectors: DataFrame,
     id_col: str,
@@ -98,33 +115,47 @@ def lsh_topk(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket in >=1 of
-    ``n_tables`` independent tables, rescored exactly within buckets."""
+    ``n_tables`` independent tables, rescored exactly within buckets.
+
+    ``queries`` (like ``brute_force_topk``) restricts the probe side BEFORE
+    the bucket join — a 50-query lookup does 50 queries' worth of work, not
+    an all-corpus ANN build. The small probe side is broadcast. Candidate
+    (query_id, nid) pairs are deduped as bare ids; vectors join back only
+    for the exact rescore, so the dedup exchange never carries array payloads
+    (at dim=384 float64 that is ~6 KB/row of avoided shuffle).
+    """
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    base = _as_double(vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
-    tables = []
-    for t in range(n_tables):
-        udf = hyperplane_udf(dim, n_bits, seed + t)
-        tables.append(
-            base.withColumn("bucket", udf(F.col("vec"))).withColumn("table_id", F.lit(t))
+    base = _as_double(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
+    )
+    buckets = _bucket_tables(base, dim, n_bits, n_tables, seed)
+    if queries is not None:
+        qbase = _as_double(
+            queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
         )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(b, ["table_id", "bucket"])
+        probe = F.broadcast(_bucket_tables(qbase, dim, n_bits, n_tables, seed))
+    else:
+        qbase = base
+        probe = buckets
+    pairs = (
+        probe.alias("a")
+        .join(buckets.alias("b"), ["table_id", "bucket"])
         .where(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("a.vec").alias("qvec"),
-            F.col("b.id").alias("nid"),
-            F.col("b.vec").alias("nvec"),
-        )
+        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("nid"))
         .dropDuplicates(["query_id", "nid"])
+    )
+    qv = qbase.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+    nv = base.select(F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+    if queries is not None:
+        qv = F.broadcast(qv)
+    cand = (
+        pairs.join(qv, "query_id")
+        .join(nv, "nid")
         .withColumn("score", cosine_col(F.col("qvec"), F.col("nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nid"))
