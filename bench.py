@@ -17,7 +17,8 @@ import __spark_entry__ as entrymod
 from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
 
 BENCH_QUERIES = [
-    "minhash_clusters",      # flagship e2e: signatures -> LSH -> verify -> CC
+    "minhash_clusters_fast",  # PRODUCTION flagship: siphash kernel -> LSH -> verify -> CC
+    "minhash_clusters",      # portable (oracle-checkable md5) twin of the flagship
     "simhash_candidates",
     "suffix_span_edges",
     "exact_dup_groups",
@@ -58,7 +59,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    flagship = timings["minhash_clusters"]
+    # headline throughput tracks the production kernel, not the md5 oracle twin
+    flagship = timings["minhash_clusters_fast"]
     out = {
         "metric": "headline_queries_total",
         "value": total,

@@ -22,17 +22,18 @@ from pyspark.sql import functions as F
 def ranked_candidates(pairs: DataFrame) -> DataFrame:
     """pairs(query_id, cand_id, score, is_dup) -> + rank, cum_hits, n_rel.
 
-    Dup-less queries are dropped (inner join against the relevant counts).
+    Dup-less queries are dropped. ``n_rel`` is an UNORDERED window over the
+    same query_id partitioning the rank window needs — so the (typically
+    quadratic) ``pairs`` input is computed once and shuffled once. The
+    earlier groupBy+join shape ran the upstream join twice and paid a third
+    exchange to marry the counts back (the round-2 bench regression).
     """
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    n_rel = (
-        pairs.groupBy("query_id")
-        .agg(F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_rel"))
-        .where(F.col("n_rel") > 0)
-    )
+    wq = Window.partitionBy("query_id")
+    w = wq.orderBy(F.desc("score"), F.asc("cand_id"))
     hit = F.when(F.col("is_dup"), 1).otherwise(0)
     return (
-        pairs.join(n_rel, "query_id")
+        pairs.withColumn("n_rel", F.sum(hit).over(wq))
+        .where(F.col("n_rel") > 0)
         .withColumn("rank", F.row_number().over(w))
         .withColumn("cum_hits", F.sum(hit).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     )

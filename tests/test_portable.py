@@ -172,3 +172,22 @@ def test_md5_anchor_suffix_mode_finds_planted_spans(spark, planted):
         lab[r["id"]] = r["cluster_id"]
     hit = sum(1 for x, y in span_pairs if lab.get(x) is not None and lab.get(x) == lab.get(y))
     assert hit / max(len(span_pairs), 1) >= 0.9
+
+
+def test_fast_flagship_matches_portable_labels(spark):
+    """The production siphash flagship (q_minhash_clusters_fast — the bench
+    headline) and the portable md5 twin (q_minhash_clusters — the
+    oracle-checked one) must induce the SAME cluster partition on the
+    driver testdata; this ties benched throughput back to proven labels."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def partition(name):
+        rows = qs[name](spark, "/root/testdata/sf0.001").collect()
+        by: dict = {}
+        for r in rows:
+            by.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in by.values()}
+
+    assert partition("minhash_clusters_fast") == partition("minhash_clusters")
