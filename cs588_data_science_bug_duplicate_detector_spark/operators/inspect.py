@@ -59,6 +59,10 @@ def retrieve_top_k(
             estimated_jaccard_col(F.col("minhash"), F.col("q_minhash"), cfg.num_perm),
         )
     )
+    # global (un-partitioned) window => single-task sort. Deliberate and
+    # safe ONLY here: the input is one doc's bucket candidates (~bands x
+    # bucket_cap rows), not a corpus-scale table. Do not copy this pattern
+    # into any per-query-fanout path — partition by query id there.
     w = Window.orderBy(F.desc("est_jaccard"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -110,13 +114,70 @@ def inspect_doc(
     ``labels(id, cluster_id)``, when provided) + format."""
     cfg = cfg or DedupConfig()
     results = retrieve_top_k(docs, id_col, text_col, query_id, cfg, k, sigs=sigs).collect()
-    true_dups: set = set()
-    if labels is not None:
-        lab = labels.select(F.col(labels.columns[0]).alias("id"), F.col(labels.columns[1]).alias("c"))
-        q = lab.where(F.col("id") == query_id).select("c")
-        true_dups = {
-            r["id"]
-            for r in lab.join(F.broadcast(q), "c").where(F.col("id") != query_id).collect()
-        }
+    true_dups = _true_dups(labels, query_id)
     qt = docs.where(F.col(id_col) == query_id).select(F.col(text_col)).first()
     return format_inspection(query_id, qt[0] if qt else None, results, true_dups, k)
+
+
+def _true_dups(labels: DataFrame | None, query_id: int) -> set:
+    if labels is None:
+        return set()
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("id"), F.col(labels.columns[1]).alias("c")
+    )
+    q = lab.where(F.col("id") == query_id).select("c")
+    return {
+        r["id"]
+        for r in lab.join(F.broadcast(q), "c").where(F.col("id") != query_id).collect()
+    }
+
+
+def compare_configs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    cfg_a: DedupConfig,
+    cfg_b: DedupConfig,
+    k: int = 20,
+    labels: DataFrame | None = None,
+    name_a: str = "CONFIG A",
+    name_b: str = "CONFIG B",
+) -> str:
+    """Side-by-side two-configuration retrieval diff for one query doc
+    (≙ reference inference_baseline_vs_trained.py:102-158 comparing
+    baseline vs fine-tuned retrieval on the same query): both configs'
+    top-k tables with ✓ DUPLICATE marks, then a summary with the found
+    counts and the improvement delta. Each side is the same bucket-local
+    lookup as ``retrieve_top_k`` — still never an all-pairs scan."""
+    true_dups = _true_dups(labels, query_id)
+
+    def table(cfg: DedupConfig, name: str) -> tuple[list[str], int]:
+        rows = retrieve_top_k(docs, id_col, text_col, query_id, cfg, k).collect()
+        lines = ["=" * 72, f"TOP {k} RESULTS - {name}", "=" * 72,
+                 f"{'Rank':<6} {'Doc ID':<22} {'Est.Jaccard':<12} {'Duplicate?':<12}",
+                 "-" * 72]
+        found = 0
+        for r in rows:
+            mark = "✓ DUPLICATE" if r["cand_id"] in true_dups else ""
+            found += bool(mark)
+            lines.append(
+                f"{r['rank']:<6} {r['cand_id']:<22} {r['est_jaccard']:<12.4f} {mark:<12}"
+            )
+        return lines, found
+
+    lines_a, found_a = table(cfg_a, name_a)
+    lines_b, found_b = table(cfg_b, name_b)
+    denom = max(len(true_dups), 1)
+    delta = found_b - found_a
+    out = ["=" * 72, f"QUERY DOC: {query_id}", "=" * 72,
+           f"--- Known Duplicates: {len(true_dups)} ---",
+           ", ".join(map(str, sorted(true_dups)[:20])) or "(none)", ""]
+    out += lines_a + [""] + lines_b
+    out += ["", "=" * 72, "SUMMARY", "=" * 72,
+            f"Total known duplicates: {len(true_dups)}",
+            f"Found in top-{k} with {name_a}: {found_a}/{len(true_dups)} ({100.0 * found_a / denom:.1f}%)",
+            f"Found in top-{k} with {name_b}: {found_b}/{len(true_dups)} ({100.0 * found_b / denom:.1f}%)",
+            f"Improvement ({name_b} vs {name_a}): {delta:+d} duplicates ({100.0 * delta / denom:+.1f}%)",
+            "=" * 72]
+    return "\n".join(out)

@@ -137,9 +137,12 @@ def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
     """Real decode -> FEATURE_DIM feature. Raises DecoderUnavailable for
     formats needing external codecs."""
     mime = (mime or "").lower()
-    if kind == "image" and (mime in ("image/bmp", "") or payload[:2] == b"BM"):
+    # empty/unknown mime dispatches on magic bytes ONLY — a non-BMP payload
+    # must fail with DecoderUnavailable (the documented contract), never
+    # fall into a format decoder and surface its internal ValueError
+    if kind == "image" and (mime == "image/bmp" or payload[:2] == b"BM"):
         return image_grid_feature(decode_bmp(payload))
-    if kind == "audio" and (mime in ("audio/wav", "audio/x-wav", "") or payload[:4] == b"RIFF"):
+    if kind == "audio" and (mime in ("audio/wav", "audio/x-wav") or payload[:4] == b"RIFF"):
         samples, _rate = decode_wav(payload)
         return audio_band_feature(samples)
     raise DecoderUnavailable(

@@ -37,7 +37,15 @@ from ..functions.text import tokens
 
 
 def _anchor_pred(gram: Column, cfg: DedupConfig) -> Column:
-    """True where ``gram`` is an anchor position — content-defined."""
+    """True where ``gram`` is an anchor position — content-defined.
+
+    ``anchor_mod=1`` is the exhaustive AUDIT mode: every position anchors,
+    so even spans exactly ``suffix_window`` tokens long (the documented
+    recall trade of sparse anchoring) are caught — at ~anchor_mod× the
+    window volume of the production setting. Short-circuited so the audit
+    pass skips the anchor hash entirely."""
+    if cfg.anchor_mod <= 1:
+        return F.lit(True)
     if cfg.anchor_hash == "md5":
         # low nibble of md5 hex — portable: DuckDB computes the identical
         # value via CAST('0x' || substr(md5(g), 32, 1) AS BIGINT)

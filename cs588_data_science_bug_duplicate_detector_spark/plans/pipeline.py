@@ -96,7 +96,14 @@ def run_pipeline(
     detectors: tuple = ALL_DETECTORS,
     resume: bool = True,
     io: TableIO | None = None,
+    quality_fn=None,
 ) -> PipelineRun:
+    """``quality_fn(labels: DataFrame) -> float`` arms the keep-best gate
+    (SURVEY.md W6 ≙ reference train.py:349-355 keeping the best checkpoint
+    by validation metric): the ``component_labels_best`` checkpoint is only
+    overwritten when the new run scores >= the previous best — a worse
+    re-run (e.g. a mis-tuned detector config) never clobbers good labels.
+    ``PipelineRun.labels`` then points at the best checkpoint either way."""
     cfg = cfg or DedupConfig()
     io = io or TableIO(workdir)
     det_salt = ",".join(sorted(detectors))
@@ -118,9 +125,11 @@ def run_pipeline(
         release_cached_deps(df)
         out = io.read(spark, name)
         # per-partition lineage (north_rule): row histogram from the parquet
-        # footers of the checkpoint as written — metadata-only, no re-scan
+        # footers of the checkpoint as written — metadata-only, no re-scan.
+        # Non-parquet formats (iceberg) have no local footers: count the
+        # checkpoint instead so 'rows' is never silently 0.
         part_rows = _partition_histogram(io, name)
-        n = sum(part_rows)
+        n = sum(part_rows) if part_rows else out.count()
         io.write_meta(
             name,
             {
@@ -241,6 +250,30 @@ def run_pipeline(
         )
 
     labels = stage("component_labels", edges_fp, build_labels)
+
+    # --- W6 keep-best gate over the labels checkpoint -----------------------
+    if quality_fn is not None:
+        best = "component_labels_best"
+        q = float(quality_fn(labels))
+        best_meta = io.read_meta(best)
+        prev_q = best_meta.get("quality") if (best_meta and io.exists(best)) else None
+        if prev_q is not None and prev_q >= q:
+            labels = io.read(spark, best)
+            stats["keep_best"] = {"kept": "previous", "prev_quality": prev_q, "new_quality": q}
+        else:
+            io.write(labels, best)
+            io.write_meta(
+                best,
+                {
+                    "stage": best,
+                    "quality": q,
+                    "input_fingerprint": edges_fp,
+                    "config_fingerprint": cfg.fingerprint(),
+                    "detectors": list(detectors),
+                },
+            )
+            labels = io.read(spark, best)
+            stats["keep_best"] = {"kept": "new", "prev_quality": prev_q, "new_quality": q}
 
     with open(os.path.join(workdir, "pipeline_stats.json"), "w") as f:
         json.dump(stats, f, indent=2, sort_keys=True)

@@ -59,3 +59,25 @@ def test_format_metrics_block(spark):
     assert "Recall@ 1: 1.0000" in block
     assert "MRR: 1.0000" in block
     assert "Number of queries: 2" in block
+
+
+def test_compare_configs_side_by_side(spark):
+    """Two-config diff (≙ inference_baseline_vs_trained.py): a config with
+    only 1 minhash permutation retrieves worse than the default; the summary
+    reports both counts and a non-negative improvement delta."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.inspect import compare_configs
+
+    docs = _corpus(spark)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    weak = DedupConfig(num_perm=4, bands=1, rows_per_band=4)
+    out = compare_configs(
+        docs, "doc_id", "text", 1, weak, DedupConfig(), k=5, labels=labels,
+        name_a="WEAK (4 perms, 1 band)", name_b="PRODUCTION",
+    )
+    assert "QUERY DOC: 1" in out
+    assert "TOP 5 RESULTS - WEAK (4 perms, 1 band)" in out
+    assert "TOP 5 RESULTS - PRODUCTION" in out
+    assert "Found in top-5 with PRODUCTION: 2/2 (100.0%)" in out
+    assert "Improvement (PRODUCTION vs WEAK (4 perms, 1 band)):" in out

@@ -142,3 +142,30 @@ def test_extract_features_real_decoder_dataflow(spark):
         raise AssertionError("expected DecoderUnavailable")
     except DecoderUnavailable:
         pass
+
+
+def test_decode_media_empty_mime_dispatches_on_magic_bytes():
+    """mime='' with an unrecognized payload must raise DecoderUnavailable
+    (the documented contract), never fall into a format decoder's internal
+    ValueError/wave.Error; mime='' with real magic bytes still decodes."""
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        DecoderUnavailable,
+        decode_media,
+        encode_bmp,
+        encode_wav,
+    )
+
+    for kind in ("image", "audio"):
+        for payload in (b"\x89PNG\r\n\x1a\n junk", b"ID3\x03 mp3 junk"):
+            try:
+                decode_media(kind, "", payload)
+                raise AssertionError(f"expected DecoderUnavailable for {kind}")
+            except DecoderUnavailable:
+                pass
+    rng = np.random.default_rng(3)
+    bmp = encode_bmp(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    wav = encode_wav((rng.standard_normal(100) * 1000).astype(np.int16))
+    assert decode_media("image", "", bmp).shape == (16,)
+    assert decode_media("audio", None, wav).shape == (16,)

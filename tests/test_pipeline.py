@@ -158,3 +158,41 @@ def test_cap_metrics_surface_in_stats_and_meta(spark, tmp_path_factory):
     # identical docs must still cluster together despite every cap firing
     labels = {r["cluster_id"] for r in run.labels.collect()}
     assert len(labels) == 1
+
+
+def test_keep_best_gate_protects_better_labels(spark, pages, tmp_path_factory):
+    """W6 (≙ reference train.py:349-355): a worse re-run must NOT overwrite
+    the better labels checkpoint; a better one must."""
+    import os
+
+    wd = str(tmp_path_factory.mktemp("pipe_best"))
+    pages_df, _, _ = pages
+
+    # first run: full detector set, quality scored by planted-pair recall
+    # stand-in (here: fraction of docs in non-singleton clusters — any
+    # monotone-ish score works for the gate contract)
+    def quality(labels):
+        n = labels.count()
+        from pyspark.sql import functions as F
+
+        multi = (
+            labels.groupBy("cluster_id").count().where(F.col("count") > 1)
+            .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("m")).collect()[0]["m"]
+        )
+        return multi / n
+
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig(), quality_fn=quality)
+    assert run1.stats["keep_best"]["kept"] == "new"
+    q1 = run1.stats["keep_best"]["new_quality"]
+    lab1 = _label_map(run1.labels)
+
+    # second run in a FRESH workdir state for edges (exact-only detectors ->
+    # fewer dup pairs -> lower quality) but same best checkpoint dir
+    run2 = run_pipeline(
+        spark, pages_df, wd, DedupConfig(), detectors=("exact",), quality_fn=quality
+    )
+    assert run2.stats["keep_best"]["kept"] == "previous"
+    assert run2.stats["keep_best"]["prev_quality"] == q1
+    # labels returned ARE the protected better ones
+    assert _label_map(run2.labels) == lab1
+    assert os.path.exists(os.path.join(wd, "component_labels_best", "_SUCCESS"))

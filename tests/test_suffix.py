@@ -55,3 +55,29 @@ def test_suffix_on_planted_pages(spark):
     found = sum(1 for p in span_pairs if p in edge_set)
     # 64-token planted spans vs 50-token windows + anchor sampling: high recall
     assert found / len(span_pairs) >= 0.9
+
+
+def test_exhaustive_audit_mode_catches_exactly_w_spans(spark):
+    """anchor_mod=1 (audit mode): a span of EXACTLY suffix_window tokens is
+    guaranteed found — the sparse-anchor recall trade disappears. The span
+    is planted at offsets engineered so sparse anchoring CAN miss it; the
+    audit pass must not."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(5000)]
+    cfg = DedupConfig(anchor_mod=1)
+    span = [str(w) for w in rng.choice(vocab, cfg.suffix_window)]  # exactly W
+
+    rows = []
+    for doc_id, (pre, post) in enumerate([(60, 60), (93, 27), (0, 120)], start=1):
+        body = (
+            [str(w) for w in rng.choice(vocab, pre)]
+            + span
+            + [str(w) for w in rng.choice(vocab, post)]
+        )
+        rows.append((doc_id, " ".join(body)))
+    rows.append((4, " ".join(str(w) for w in rng.choice(vocab, 240))))  # unrelated
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    edges = {(r["src"], r["dst"]) for r in suffix_edges(docs, "doc_id", "text", cfg).collect()}
+    # star edges from min member 1 to the other two span-carriers; doc 4 out
+    assert edges == {(1, 2), (1, 3)}
