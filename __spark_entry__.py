@@ -330,6 +330,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """The second ANN scale path: IVF-flat (sampled coarse centroids ->
+    inverted-list equi-join -> exact rescore; a (query, neighbor) pair can
+    match at most once, so no candidate dedup exchange). Portable md5
+    centroid sampling so DuckDB rebuilds the identical index
+    (portable.ann_ivf_sql); production default is xxhash64 sampling
+    (operators/ivf.py)."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4,
+        queries=emb.where(F.col("vec_id") < 50), sample_hash="md5",
+    )
+    return topk.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
 # --- portable-hash detector queries (oracle-checked end-to-end) ------------
 
 def q_minhash_clusters(spark, sf_dir):
@@ -396,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "quality_scores": q_quality_scores,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_fast": q_minhash_clusters_fast,
         "simhash_candidates": q_simhash_candidates,
@@ -617,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "ann_lsh_topk": portable.ann_lsh_sql(dim=64, k=3, n_bits=8, n_tables=4, seed=42),
+        "ann_ivf_topk": portable.ann_ivf_sql(k=3, n_centroids=16, n_probe=4),
         "minhash_clusters": portable.minhash_clusters_sql(CFG),
         "simhash_candidates": portable.simhash_candidates_sql(CFG),
         "suffix_span_edges": portable.suffix_span_edges_sql(SUFFIX_ORACLE_CFG),

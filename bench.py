@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "embedding_dup_pairs",
     "quality_scores",
+    # round 3 additions
+    "ann_ivf_topk",
 ]
 
 

@@ -387,3 +387,48 @@ FROM wins w JOIN wr r USING (win)
 WHERE r.n > 1 AND w.doc_id <> r.root
 ORDER BY src, dst
 """
+
+
+def ann_ivf_sql(
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_query_id: int = 50,
+) -> str:
+    """Oracle for operators.ivf.ivf_topk in portable mode: centroids are
+    the n_centroids vectors with the smallest md5(id) hex (identical order
+    in both engines), numbered by that sample order; assignment = nearest
+    centroid (cosine, ties by cid), probes = n_probe nearest; candidates
+    from the inverted-list equi-join; exact rescore + per-query top-k.
+    Cosine ordering parity across engines: same argument as embedding_knn
+    (a flip needs a sim gap ~1e-13 on gaussian data)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         v AS cv
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT nid, nvec, cid FROM (
+    SELECT b.vec_id AS nid, b.v AS nvec, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid ASC) AS pr
+    FROM e b CROSS JOIN cents c) WHERE pr = 1),
+probe AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.vec_id AS query_id, q.v AS qvec, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid ASC) AS pr
+    FROM e q CROSS JOIN cents c WHERE q.vec_id < {max_query_id}) WHERE pr <= {n_probe}),
+cand AS (
+  SELECT p.query_id, a.nid, list_cosine_similarity(p.qvec, a.nvec) AS s
+  FROM probe p JOIN assign a USING (cid) WHERE p.query_id <> a.nid),
+ranked AS (
+  SELECT query_id, nid,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid ASC) AS rnk
+  FROM cand)
+SELECT query_id, rnk, nid AS neighbor_id FROM ranked WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: incremental near-dup candidates.
+
+The batch detectors answer "which docs in THIS table are near-dups"; a
+crawl ingest needs the incremental question — "is this page a near-dup of
+ANYTHING already admitted" — without re-scanning the corpus per batch.
+This is the ``applyInPandasWithState`` analog of the batch LSH star-edge
+pass (operators/minhash.py:194): group the band-exploded stream by LSH
+``band_key``; the per-key state is a SINGLE long — the minimum doc id
+ever seen in that bucket (its root). Every later arrival in the bucket
+emits a candidate star edge ``(root, new_doc)``.
+
+Correctness: within a bucket, every doc is connected to the bucket root
+by an emitted edge (when a later batch brings a smaller id, the old root
+is re-emitted as a leaf of the new root, so the union of edges over all
+batches keeps the bucket connected — same min-member star invariant as
+the batch cap path). Downstream CC over the accumulated edge log then
+matches the batch clustering for bucket-driven components; edges are
+CANDIDATES (verify with signatures in ``foreachBatch``, same as batch).
+
+Scale: state is one long per ACTIVE band bucket, expired after
+``state_ttl_ms`` of inactivity (GroupStateTimeout.ProcessingTimeTimeout)
+— bounded by the active-crawl horizon, not corpus size; an unbounded
+10^12-doc crawl never accretes unbounded state. The shuffle is the band
+explode (bands × docs rows of two longs), identical to batch banding.
+
+Reference parity: the reference has no streaming at all; this extends the
+candidate-pair semantics of preprocess_data.py:107-114 to an unbounded
+input, per the target table's event-time column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..config import DedupConfig
+from ..operators.minhash import band_table, minhash_udf
+
+EDGE_SCHEMA = StructType(
+    [StructField("src", LongType()), StructField("dst", LongType())]
+)
+_STATE_SCHEMA = StructType([StructField("root", LongType())])
+
+
+def _make_bucket_update(state_ttl_ms: int):
+    """One LSH bucket's state transition: maintain min-id root, emit star
+    edges for every other id seen this batch (and re-parent the old root
+    when a smaller id arrives). Closure, not functools.partial — Spark's
+    serializer requires a plain function."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+            return
+        ids: set = set()
+        for pdf in pdfs:
+            ids.update(int(x) for x in pdf["id"])
+        (old_root,) = state.get if state.exists else (None,)
+        root = min(ids) if old_root is None else min(old_root, min(ids))
+        dsts = sorted(ids - {root})
+        if old_root is not None and old_root != root:
+            dsts.append(old_root)  # keep the previously-admitted subtree connected
+        state.update((root,))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({"src": [root] * len(dsts), "dst": dsts})
+
+    return update
+
+
+def streaming_candidate_edges(
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming pages -> incremental candidate star edges (src, dst).
+
+    ``pages`` is a streaming DataFrame with ``id_col`` (long) and
+    ``text_col``; signatures are computed in-stream with the SAME
+    vectorized UDF as batch, then band-exploded with the SAME band_table
+    exprs — a micro-batch is just another Arrow batch.
+    """
+    cfg = cfg or DedupConfig()
+    sigs = pages.select(id_col, text_col).withColumn(
+        "minhash", minhash_udf(cfg)(pages[text_col])
+    )
+    bands = band_table(sigs, id_col, cfg)
+    return bands.groupBy("band_key").applyInPandasWithState(
+        _make_bucket_update(state_ttl_ms),
+        outputStructType=EDGE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -85,6 +85,10 @@ def main() -> None:
     plan_lsh = formatted_plan(lsh)
     assert "BroadcastNestedLoopJoin" in plan_knn  # documented exact baseline
     assert "BroadcastNestedLoopJoin" not in plan_lsh  # scale path is bucketed
+    # round-3 invariant: the query-side predicate reaches the parquet scan
+    # BELOW the bucket join (a 50-query lookup must not build all-corpus
+    # top-k) — lsh_topk(queries=...) pushes it into the probe branch
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,50\)", plan_lsh), plan_lsh
     out.write(
         "## 3. ANN: brute-force baseline vs bucketed LSH\n\n"
         "`embedding_knn` (exact baseline) IS a BroadcastNestedLoopJoin by design —\n"

@@ -159,11 +159,22 @@ def main() -> None:
             })
             print(json.dumps(pairs[-1]), flush=True)
         effs = sorted(p["efficiency"] for p in pairs)
+        # bootstrap CI on the median of pair efficiencies: the pair ratios
+        # are i.i.d.-ish across rounds (adjacent legs share host drift, the
+        # rounds don't), so resampling rounds is the right unit
+        import random
+
+        rng = random.Random(0)
+        boots = sorted(
+            sorted(rng.choices(effs, k=len(effs)))[len(effs) // 2]
+            for _ in range(10_000)
+        )
         summary = {
             "docs": args.docs,
             "pairs": pairs,
             "median_pair_efficiency": effs[len(effs) // 2],
             "best_pair_efficiency": effs[-1],
+            "median_ci90": [boots[500], boots[9499]],
         }
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/scaling_paired.json", "w") as f:

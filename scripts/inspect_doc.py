@@ -4,10 +4,14 @@ truth marks).
 
 Usage:
     python scripts/inspect_doc.py <corpus.parquet> <doc_id> [k] [--labels labels.parquet]
+    python scripts/inspect_doc.py <corpus.parquet> <doc_id> --compare num_perm=32,bands=8
 
 The corpus parquet needs (doc_id, text); labels (optional) needs
 (doc_id|id, cluster_id) — e.g. a component_labels pipeline checkpoint —
-and provides the truth marks.
+and provides the truth marks. ``--compare`` renders the side-by-side
+two-configuration diff (≙ inference_baseline_vs_trained.py): the
+alternate config's fields are comma-separated ``key=value`` overrides of
+DedupConfig, shown against the production default.
 """
 
 from __future__ import annotations
@@ -18,8 +22,19 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
-from cs588_data_science_bug_duplicate_detector_spark.operators.inspect import inspect_doc
+from cs588_data_science_bug_duplicate_detector_spark.operators.inspect import (
+    compare_configs,
+    inspect_doc,
+)
 from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
+
+
+def _parse_cfg(spec: str) -> DedupConfig:
+    fields = {}
+    for kv in spec.split(","):
+        k, v = kv.split("=", 1)
+        fields[k.strip()] = type(getattr(DedupConfig(), k.strip()))(v)
+    return DedupConfig(**fields)
 
 
 def main() -> None:
@@ -30,18 +45,29 @@ def main() -> None:
     p.add_argument("--labels", default=None)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--compare", default=None, metavar="key=val,...",
+                   help="DedupConfig overrides for a side-by-side diff vs the default")
     args = p.parse_args()
 
     spark = get_spark("inspect-doc", cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(args.corpus)
     labels = spark.read.parquet(args.labels) if args.labels else None
-    print(
-        inspect_doc(
-            docs, args.id_col, args.text_col, args.doc_id,
-            DedupConfig(), args.k, labels=labels,
+    if args.compare:
+        print(
+            compare_configs(
+                docs, args.id_col, args.text_col, args.doc_id,
+                _parse_cfg(args.compare), DedupConfig(), args.k, labels=labels,
+                name_a=f"ALT ({args.compare})", name_b="PRODUCTION DEFAULT",
+            )
         )
-    )
+    else:
+        print(
+            inspect_doc(
+                docs, args.id_col, args.text_col, args.doc_id,
+                DedupConfig(), args.k, labels=labels,
+            )
+        )
     spark.stop()
 
 

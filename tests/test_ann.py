@@ -62,3 +62,39 @@ def test_lsh_recall_vs_brute(spark, vectors):
         total += len(neighbors)
         hits += len(set(neighbors) & got.get(q, set()))
     assert hits / total >= 0.8  # approximate path: high-but-not-perfect recall
+
+
+def test_ivf_recall_vs_brute(spark, vectors):
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import ivf_topk
+
+    df, rows = vectors
+    want = _numpy_topk(rows, 5)
+    res = ivf_topk(df, "vec_id", "embedding", k=5, n_centroids=16, n_probe=6)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q, neighbors in want.items():
+        total += len(neighbors)
+        hits += len(set(neighbors) & got.get(q, set()))
+    assert hits / total >= 0.8  # same gate as LSH
+
+
+def test_ivf_queries_param_restricts_probe_side(spark, vectors):
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import ivf_topk
+
+    df, _ = vectors
+    res = ivf_topk(
+        df, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4,
+        queries=df.where(F.col("vec_id") < 10),
+    ).collect()
+    qids = {r["query_id"] for r in res}
+    assert qids <= set(range(10)) and len(qids) == 10
+    # full-query run agrees with the filtered run on the common queries
+    full = ivf_topk(df, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4)
+    full_map = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in full.where(F.col("query_id") < 10).collect()
+    }
+    for r in res:
+        assert full_map[(r["query_id"], r["rank"])] == r["neighbor_id"]

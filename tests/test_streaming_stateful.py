@@ -1,0 +1,77 @@
+"""applyInPandasWithState incremental near-dup candidates: cross-batch
+state (bucket roots) survives via the checkpoint, old roots re-parent when
+a smaller id arrives, and the accumulated edge log keeps buckets connected.
+
+Sink is parquet (the memory sink does not support checkpoint recovery, so
+it cannot exercise the resume path this operator exists for)."""
+
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+    streaming_candidate_edges,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _text(tag: str) -> str:
+    return " ".join(f"{tag}{i % 7} w{i}" for i in range(80))
+
+
+def _run(spark, src_dir, ckpt, out_dir):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+    edges = streaming_candidate_edges(stream, DedupConfig())
+    q = (
+        edges.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_streaming_candidates_cross_batch_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    shared = _text("a")
+
+    # batch 1: 10 and 11 are exact dups (every band collides); 20 unrelated
+    spark.createDataFrame(
+        [(10, shared), (11, shared), (20, _text("z"))], DOC_SCHEMA
+    ).write.mode("overwrite").parquet(src)
+    e1 = _run(spark, src, ckpt, out)
+    assert (10, 11) in e1
+    assert not any(20 in pair for pair in e1)
+
+    # batch 2 (same checkpoint -> state resumes): 12 joins the bucket, and 5
+    # arrives with a SMALLER id than the stored root 10 -> root re-parents
+    spark.createDataFrame(
+        [(12, shared), (5, shared)], DOC_SCHEMA
+    ).write.mode("append").parquet(src)
+    e2 = _run(spark, src, ckpt, out)
+    delta = e2 - e1
+    assert (5, 12) in delta
+    assert (5, 10) in delta  # old root re-parented under the new min
+
+    # union of all emitted edges keeps the whole bucket connected
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in e2:
+        parent[find(s)] = find(d)
+    assert len({find(x) for x in (5, 10, 11, 12)}) == 1
+    assert find(20) != find(10)
