@@ -532,7 +532,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 25 = 0
             )
             SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
-            FROM with_planted GROUP BY md5(text) HAVING COUNT(*) > 1
+            FROM with_planted
+            WHERE text IS NOT NULL AND trim(text) <> ''  -- content-less docs never group
+            GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
         "token_stats_by_lang": f"""
             SELECT lang, COUNT(*) AS n_docs,

@@ -151,12 +151,15 @@ def simhash_signatures(texts: pd.Series, token_lists: pd.Series | None = None) -
 
 
 def dual_signatures(
-    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray
+    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray,
+    token_lists: pd.Series | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(minhash matrix, simhash vector) for one batch — ONE tokenization
     pass shared by both kernels (tokenize is a large slice of the
-    signature phase, and this phase dominates the whole job at scale)."""
-    token_lists = tokenize_series(texts)
+    signature phase, and this phase dominates the whole job at scale).
+    Pass ``token_lists`` to reuse an existing tokenization."""
+    if token_lists is None:
+        token_lists = tokenize_series(texts)
     return (
         minhash_signatures(texts, shingle_k, a, b, token_lists=token_lists),
         simhash_signatures(texts, token_lists=token_lists),

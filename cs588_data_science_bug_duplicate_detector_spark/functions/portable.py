@@ -125,7 +125,12 @@ def with_portable_minhash(
     k = cfg.shingle_k
 
     def _f(texts: pd.Series) -> pd.Series:
-        return pd.Series(list(portable_minhash_signatures(texts, k, a, b)))
+        out = pd.Series(list(portable_minhash_signatures(texts, k, a, b)))
+        # zero-token docs: NULL signature (same exclusion as the production
+        # kernel — content-less docs are never candidates); the oracle SQL
+        # mirrors this with WHERE len(toks) >= 1
+        out[hashing.tokenize_series(texts).str.len() == 0] = None
+        return out
 
     return df.withColumn(out_col, pandas_udf(_f, ArrayType(LongType()))(F.col(text_col)))
 
@@ -169,7 +174,11 @@ def portable_simhash_signatures(texts: pd.Series) -> np.ndarray:
 
 @pandas_udf(LongType())
 def _portable_simhash_udf(texts: pd.Series) -> pd.Series:
-    return pd.Series(portable_simhash_signatures(texts))
+    out = pd.Series(portable_simhash_signatures(texts)).astype("object")
+    # zero-token docs: NULL signature (mirrored by WHERE len(toks) > 0 in
+    # the oracle SQL) — content-less docs are never candidates
+    out[(hashing.tokenize_series(texts).str.len() == 0).to_numpy()] = None
+    return out
 
 
 def with_portable_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -202,13 +211,13 @@ WITH RECURSIVE
 docs AS (SELECT doc_id, text FROM {source_sql}),
 {_toks_cte('docs')},
 sh AS (
+  -- content-less docs (zero tokens) are excluded: never candidates
   SELECT doc_id,
     CASE WHEN len(toks) >= {k}
            THEN list_transform(range(1, len(toks) - {k} + 2),
                                i -> array_to_string(toks[i:i+{k - 1}], ' '))
-         WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
-         ELSE [''] END AS shingles
-  FROM t),
+         ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t WHERE len(toks) >= 1),
 hs AS (
   SELECT doc_id,
          list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {P31}) AS hs
@@ -242,10 +251,11 @@ ver AS (
   SELECT p.src, p.dst
   FROM amb p JOIN sig sa ON sa.doc_id = p.src JOIN sig sb ON sb.doc_id = p.dst
   WHERE {n_eq} / {float(cfg.num_perm)} >= {cfg.verify_threshold}),
-exg AS (SELECT md5(text) AS h, MIN(doc_id) AS root, COUNT(*) AS n FROM docs GROUP BY md5(text)),
+cdocs AS (SELECT doc_id, text FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+exg AS (SELECT md5(text) AS h, MIN(doc_id) AS root, COUNT(*) AS n FROM cdocs GROUP BY md5(text)),
 ex AS (
   SELECT g.root AS src, d.doc_id AS dst
-  FROM docs d JOIN exg g ON md5(d.text) = g.h
+  FROM cdocs d JOIN exg g ON md5(d.text) = g.h
   WHERE g.n > 1 AND d.doc_id <> g.root),
 edges AS (
   SELECT DISTINCT src, dst FROM (
@@ -275,7 +285,7 @@ def simhash_candidates_sql(cfg: DedupConfig, source_sql: str = "documents") -> s
 WITH
 docs AS (SELECT doc_id, text FROM {source_sql}),
 {_toks_cte('docs')},
-tt AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [''] ELSE toks END AS toks FROM t),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),  -- content-less docs excluded
 th AS (
   SELECT doc_id, n,
          CAST('0x' || substr(m, 1, 8) AS BIGINT) AS hi,

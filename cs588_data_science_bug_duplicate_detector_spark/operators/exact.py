@@ -16,9 +16,19 @@ def text_hash_col(text_col: str):
     return F.md5(F.col(text_col).cast("binary"))
 
 
+def _has_content(text_col: str):
+    """Content-less docs (NULL or whitespace-only text) are never dup
+    candidates: md5(NULL) is NULL and NULL keys GROUP TOGETHER in Spark,
+    so without this filter every failed extraction in the corpus would
+    merge into one cluster. "No content" is not "same content"."""
+    return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+
+
 def exact_dup_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # min-over-window instead of groupBy+join-back: one shuffle, one stage
-    h = docs.select(F.col(id_col).alias("id"), text_hash_col(text_col).alias("h"))
+    h = docs.where(_has_content(text_col)).select(
+        F.col(id_col).alias("id"), text_hash_col(text_col).alias("h")
+    )
     root = F.min("id").over(Window.partitionBy("h"))
     return (
         h.withColumn("root", root)
@@ -29,7 +39,9 @@ def exact_dup_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(text_hash, n_copies, canonical_id) for groups with >1 copy."""
-    h = docs.select(F.col(id_col).alias("id"), text_hash_col(text_col).alias("text_hash"))
+    h = docs.where(_has_content(text_col)).select(
+        F.col(id_col).alias("id"), text_hash_col(text_col).alias("text_hash")
+    )
     return (
         h.groupBy("text_hash")
         .agg(F.count("*").alias("n_copies"), F.min("id").alias("canonical_id"))

@@ -36,8 +36,16 @@ def minhash_udf(cfg: DedupConfig):
 
     def _minhash_batch(texts: pd.Series) -> pd.Series:
         a, b = hashing.minhash_perms(num_perm, seed)
-        sig = hashing.minhash_signatures(texts, shingle_k, a, b)
-        return pd.Series(list(sig))
+        toks = hashing.tokenize_series(texts)
+        sig = hashing.minhash_signatures(texts, shingle_k, a, b, token_lists=toks)
+        out = pd.Series(list(sig))
+        # content-less docs (null/blank text -> zero tokens) get a NULL
+        # signature: all of them share one degenerate signature otherwise,
+        # which collides in EVERY band, auto-accepts, and welds every
+        # failed extraction on earth into one mega-cluster. band_table
+        # drops NULL sigs; such docs stay singletons.
+        out[toks.str.len() == 0] = None
+        return out
 
     return pandas_udf(_minhash_batch, ArrayType(LongType()))
 
@@ -57,8 +65,15 @@ def with_dual_signatures(df: DataFrame, text_col: str, cfg: DedupConfig) -> Data
 
     def _dual_batch(texts: pd.Series) -> pd.DataFrame:
         a, b = hashing.minhash_perms(num_perm, seed)
-        mh, sh = hashing.dual_signatures(texts, shingle_k, a, b)
-        return pd.DataFrame({"minhash": list(mh), "simhash": sh})
+        toks = hashing.tokenize_series(texts)
+        mh, sh = hashing.dual_signatures(texts, shingle_k, a, b, token_lists=toks)
+        out = pd.DataFrame({"minhash": list(mh), "simhash": sh})
+        # zero-token docs: NULL both signatures (see minhash_udf)
+        empty = (toks.str.len() == 0).to_numpy()
+        out.loc[empty, "minhash"] = None
+        out["simhash"] = out["simhash"].astype("object")
+        out.loc[empty, "simhash"] = None
+        return out
 
     udf = pandas_udf(_dual_batch, "minhash array<long>, simhash long")
     return (
@@ -97,7 +112,11 @@ def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "m
             F.slice(F.col(sig_col), b * F.lit(cfg.rows_per_band) + 1, cfg.rows_per_band),
         )
     bands = F.transform(F.sequence(F.lit(0), F.lit(cfg.bands - 1)), key)
-    return sigs.select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
+    # NULL signatures = content-less docs (zero tokens): never candidates
+    return (
+        sigs.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
+    )
 
 
 def capped_band_table(bands: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -22,7 +22,13 @@ from ..functions import hashing
 
 @pandas_udf(LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
-    return pd.Series(hashing.simhash_signatures(texts))
+    toks = hashing.tokenize_series(texts)
+    out = pd.Series(hashing.simhash_signatures(texts, token_lists=toks)).astype("object")
+    # zero-token docs: NULL signature (all of them hash to the same
+    # degenerate value otherwise and the chunk join welds them together);
+    # chunk_table drops NULLs, so content-less docs stay singletons
+    out[(toks.str.len() == 0).to_numpy()] = None
+    return out
 
 
 def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -43,7 +49,8 @@ def chunk_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "
         ]
     )
     return (
-        sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), F.explode(chunks).alias("c"))
+        sigs.where(F.col(sig_col).isNotNull())  # content-less docs: never candidates
+        .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"), F.explode(chunks).alias("c"))
         .select("id", "sig", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val"))
     )
 

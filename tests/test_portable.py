@@ -77,11 +77,15 @@ def test_portable_minhash_matches_eager_python(spark):
     a, b = portable.perms31(cfg.num_perm, cfg.seed)
     df = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
     got = {
-        r["doc_id"]: list(r["minhash"])
+        r["doc_id"]: (list(r["minhash"]) if r["minhash"] is not None else None)
         for r in portable.with_portable_minhash(df, "text", cfg).collect()
     }
     for i, t in enumerate(TEXTS):
-        assert got[i] == eager_minhash(t, cfg.shingle_k, a, b), f"doc {i}"
+        if not t.strip():
+            # content-less docs carry a NULL signature (never candidates)
+            assert got[i] is None, f"doc {i}"
+        else:
+            assert got[i] == eager_minhash(t, cfg.shingle_k, a, b), f"doc {i}"
 
 
 def test_portable_simhash_matches_eager_python(spark):
@@ -91,7 +95,10 @@ def test_portable_simhash_matches_eager_python(spark):
         for r in portable.with_portable_simhash(df, "text").collect()
     }
     for i, t in enumerate(TEXTS):
-        assert got[i] == eager_simhash(t), f"doc {i}"
+        if not t.strip():
+            assert got[i] is None, f"doc {i}"
+        else:
+            assert got[i] == eager_simhash(t), f"doc {i}"
 
 
 @pytest.fixture(scope="module")
