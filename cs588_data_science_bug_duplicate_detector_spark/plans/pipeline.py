@@ -166,7 +166,23 @@ def run_pipeline(
             *(["lang"] if "lang" in df.columns else []),
         )
 
-    documents = stage("documents", pages_fp, build_documents)
+    def documents_meta():
+        # doc_id = xxhash64(url) has a birthday bound: at 10^12 urls expect
+        # ~n^2/2^65 ≈ 27k colliding pairs, each silently merging two docs.
+        # Meter it into lineage (column-pruned scan of the checkpoint);
+        # a non-zero count at scale means switching to a 128-bit id.
+        row = (
+            io.read(spark, "documents")
+            .agg(
+                F.countDistinct("url").alias("u"),
+                F.countDistinct("doc_id").alias("d"),
+            )
+            .collect()[0]
+        )
+        stats["id_collisions"] = int(row["u"] - row["d"])
+        return {"id_collisions": stats["id_collisions"]}
+
+    documents = stage("documents", pages_fp, build_documents, extra_meta=documents_meta)
 
     # --- stage 2: signatures ----------------------------------------------
     # detector set folded into the salt: resuming with a different set must

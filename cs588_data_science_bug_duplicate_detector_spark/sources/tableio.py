@@ -48,9 +48,13 @@ class TableIO:
             return spark.read.table(f"{self.catalog}.{name}")
         return spark.read.parquet(self._path(name))
 
-    def exists(self, name: str) -> bool:
+    def exists(self, name: str, spark: SparkSession | None = None) -> bool:
         if self.fmt == "iceberg":
-            raise NotImplementedError("catalog.tableExists via spark.catalog")
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("iceberg exists() needs an active SparkSession")
+            return spark.catalog.tableExists(f"{self.catalog}.{name}")
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
     # --- lineage / resume ---

@@ -158,6 +158,10 @@ def test_cap_metrics_surface_in_stats_and_meta(spark, tmp_path_factory):
     # identical docs must still cluster together despite every cap firing
     labels = {r["cluster_id"] for r in run.labels.collect()}
     assert len(labels) == 1
+    # id-collision audit metered into lineage (xxhash64(url) birthday bound)
+    assert run.stats["id_collisions"] == 0
+    with open(os.path.join(wd, "documents._meta.json")) as f:
+        assert json.load(f)["id_collisions"] == 0
 
 
 def test_keep_best_gate_protects_better_labels(spark, pages, tmp_path_factory):
