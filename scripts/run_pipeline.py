@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--detectors", default="exact,minhash,simhash,suffix")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores (ignored under a real master)")
+    ap.add_argument(
+        "--keep-best", action="store_true",
+        help="arm the W6 keep-best gate: score labels by the fraction of "
+             "docs in non-singleton clusters and only overwrite "
+             "component_labels_best when the new run scores >= previous",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +55,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     pages = spark.read.parquet(args.input)
+
+    def dup_mass(labels):
+        """Default keep-best score: fraction of docs in non-singleton
+        clusters (a recall-shaped proxy when no planted truth exists)."""
+        from pyspark.sql import functions as F
+
+        n = labels.count()
+        multi = (
+            labels.groupBy("cluster_id").count().where(F.col("count") > 1)
+            .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        return multi / max(n, 1)
+
     run = run_pipeline(
         spark,
         pages,
@@ -56,6 +76,7 @@ def main() -> None:
         DedupConfig(),
         detectors=tuple(args.detectors.split(",")),
         resume=not args.no_resume,
+        quality_fn=dup_mass if args.keep_best else None,
     )
     n = run.labels.count()
     n_clusters = run.labels.select("cluster_id").distinct().count()
