@@ -19,10 +19,16 @@ both engines evaluate identically:
 - suffix anchors       = positions whose ANCHOR_K-gram md5 low nibble
                          ≡ 0 (mod anchor_mod)
 
-Spark side: pure Catalyst expressions (md5 / conv / transform /
-aggregate), whole-stage codegen, no Python. DuckDB side: generated SQL
-built by the ``*_sql`` functions below (DuckDB parses ``'0x..'`` hex
-casts). Downstream operators are the production ones —
+Spark side: Arrow-batched pandas UDFs (hashlib md5 + numpy segment
+reductions) for the signature kernels, pure Catalyst for the suffix
+anchors. A full-Catalyst signature variant (md5/conv + transform/
+array_min over 128 perm literals) was tried and measured 2-3x SLOWER at
+sf0.1: Spark higher-order functions are interpreted per element, not
+whole-stage-codegen'd, so 128 lambda evaluations per shingle lose badly
+to one numpy reduceat pass — the Arrow kernel is the right shape.
+DuckDB side: generated SQL built by the ``*_sql`` functions below
+(DuckDB parses ``'0x..'`` hex casts). Downstream operators are the
+production ones —
 ``operators.minhash.minhash_edges_from_sigs``,
 ``operators.simhash.simhash_edges_from_sigs``,
 ``operators.suffix.suffix_edges``, ``operators.cc.connected_components``
