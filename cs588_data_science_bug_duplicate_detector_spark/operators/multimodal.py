@@ -2,11 +2,11 @@
 metadata, processed through mapInPandas.
 
 Decode support is REAL for the formats the standard library + numpy can
-parse — 24-bit uncompressed BMP images and PCM WAV audio (encoders
-included for fixtures; round-trip tested) — with grid-mean image features,
-banded-RMS audio features, and nearest-neighbor resize as genuine numpy
-kernels. Compressed formats (JPEG/PNG/MP3/video containers) require
-external codecs absent from this container and raise ``DecoderUnavailable``
+parse — 24-bit uncompressed BMP, 8-bit PNG (zlib inflate + full filter
+reversal), and PCM WAV audio (encoders included for fixtures; round-trip
+tested) — with grid-mean image features, banded-RMS audio features, and
+nearest-neighbor resize as genuine numpy kernels. Formats needing codecs
+outside the stdlib (JPEG/MP3/video containers) raise ``DecoderUnavailable``
 (swapping in PIL/librosa/av changes only the per-format branch in
 ``decode_media``, nothing in the dataflow). A deterministic fake-feature
 path remains for dataflow tests that don't care about pixels.
@@ -36,7 +36,7 @@ FEATURE_DIM = 16
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised for formats that need external codecs (JPEG/PNG/MP3/video)."""
+    """Raised for formats that need external codecs (JPEG/MP3/video)."""
 
 
 # ---------------------------------------------------------------------------
@@ -77,6 +77,106 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h > 0:
         rows = rows[::-1]  # bottom-up -> top-down
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    zlib stream — stdlib only)."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB, no interlace
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) uint8 RGB. Real decode via stdlib zlib:
+    chunk walk, inflate, per-row filter reversal (None/Sub/Up/Average/
+    Paeth). Supports 8-bit gray/RGB/RGBA, non-interlaced; anything else
+    (palette, 16-bit, interlaced) raises DecoderUnavailable."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise DecoderUnavailable(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        cur = row.astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up: fully vectorizable
+            cur = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the left neighbor: scan
+            cur = cur.copy()
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = pv[x]
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = pv[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 4:
+        return img[:, :, :3].copy()  # drop alpha
+    return img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
@@ -142,12 +242,17 @@ def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
     # fall into a format decoder and surface its internal ValueError
     if kind == "image" and (mime == "image/bmp" or payload[:2] == b"BM"):
         return image_grid_feature(decode_bmp(payload))
+    # PNG dispatches on magic bytes alone: a payload CLAIMING image/png but
+    # not starting with the PNG signature is mislabeled, not decodable —
+    # fall through to DecoderUnavailable rather than a decoder ValueError
+    if kind == "image" and payload[:8] == _PNG_SIG:
+        return image_grid_feature(decode_png(payload))
     if kind == "audio" and (mime in ("audio/wav", "audio/x-wav") or payload[:4] == b"RIFF"):
         samples, _rate = decode_wav(payload)
         return audio_band_feature(samples)
     raise DecoderUnavailable(
         f"no in-container codec for kind={kind} mime={mime!r} "
-        "(JPEG/PNG need PIL, MP3 needs librosa, video needs av/ffmpeg)"
+        "(JPEG needs PIL, MP3 needs librosa, video needs av/ffmpeg)"
     )
 
 

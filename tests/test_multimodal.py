@@ -158,7 +158,7 @@ def test_decode_media_empty_mime_dispatches_on_magic_bytes():
     )
 
     for kind in ("image", "audio"):
-        for payload in (b"\x89PNG\r\n\x1a\n junk", b"ID3\x03 mp3 junk"):
+        for payload in (b"\xff\xd8\xff jpeg junk", b"ID3\x03 mp3 junk"):
             try:
                 decode_media(kind, "", payload)
                 raise AssertionError(f"expected DecoderUnavailable for {kind}")
@@ -169,3 +169,113 @@ def test_decode_media_empty_mime_dispatches_on_magic_bytes():
     wav = encode_wav((rng.standard_normal(100) * 1000).astype(np.int16))
     assert decode_media("image", "", bmp).shape == (16,)
     assert decode_media("audio", None, wav).shape == (16,)
+
+
+def test_png_round_trip_and_filter_reversal():
+    """encode_png -> decode_png is identity; decode also reverses Sub/Up/
+    Average/Paeth rows (forward-filtered here per the PNG spec), and
+    gray/RGBA variants decode to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # forward-filter each row with filter y % 5 (spec definitions)
+    ch = 3
+    h, w, _ = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        enc = cur.copy()
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 1:
+                enc[x] = (cur[x] - a) % 256
+            elif f == 2:
+                enc[x] = (cur[x] - b) % 256
+            elif f == 3:
+                enc[x] = (cur[x] - (a + b) // 2) % 256
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) % 256
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+    # gray (color 0) and RGBA (color 6) decode to RGB
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    raw_g = b"".join(b"\x00" + gray[y].tobytes() for y in range(5))
+    p_gray = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw_g))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(p_gray)
+    assert out.shape == (5, 4, 3) and np.array_equal(out[:, :, 0], gray)
+
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    raw_a = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    p_rgba = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw_a))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(p_rgba), rgba[:, :, :3])
+
+
+def test_png_dispatch_and_unsupported_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        DecoderUnavailable,
+        decode_media,
+        encode_png,
+    )
+
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    feat = decode_media("image", "", encode_png(img))  # magic-byte dispatch
+    assert feat.shape == (16,)
+    # palette (color type 3) is honestly unsupported
+    raw = zlib.compress(b"\x00" + bytes(4))
+    pal = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    try:
+        decode_media("image", "image/png", pal)
+        raise AssertionError("expected DecoderUnavailable")
+    except DecoderUnavailable:
+        pass
