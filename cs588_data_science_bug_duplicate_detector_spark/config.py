@@ -53,6 +53,14 @@ class DedupConfig:
     # precision is unaffected; the documented trade is member<->member recall
     # inside a hot bucket when BOTH members fail the root verify.
     bucket_cap: int = 128
+    # 0 = off. When > 1, hot buckets are ADDITIONALLY salted into this many
+    # id-hashed sub-buckets whose intra-sub-bucket pairs are generated and
+    # verified normally (north_rule "explicit salting of skewed LSH
+    # buckets"): quadratic cost drops from c^2 to ~c^2/salt per hot bucket
+    # while recovering member<->member recall that star-only capping trades
+    # away when both members fail the root verify. Star edges still run, so
+    # connectivity never regresses.
+    bucket_salt: int = 0
 
     # --- retrieval metrics ---
     k_values: tuple = (1, 5, 10, 20)

@@ -245,6 +245,26 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .distinct()
     )
+    # explicit salting of skewed buckets (cfg.bucket_salt > 1): hot-bucket
+    # members also pair within id-hashed sub-buckets — ~c^2/salt verified
+    # pairs per hot bucket recover member<->member recall the star-only
+    # path trades away; the salted self-join is co-partitioned on the
+    # salted key, never on the raw hot band_key
+    if cfg.bucket_salt > 1:
+        salted = bw.where(F.col("bucket_size") > cfg.bucket_cap).select(
+            F.xxhash64("band_key", F.pmod(F.xxhash64("id"), F.lit(cfg.bucket_salt))).alias(
+                "band_key"
+            ),
+            "id",
+        )
+        sp = (
+            salted.alias("a")
+            .join(salted.alias("b"), "band_key")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .distinct()
+        )
+        star = star.unionByName(sp)
     # persist: the auto/ambiguous split reads the pair table twice — without
     # it the whole LSH bucket join runs twice.
     pairs = candidate_pairs(ok, cfg).persist()

@@ -81,3 +81,51 @@ def test_verify_rejects_low_similarity(spark):
     assert (1, 2) not in kept_pairs  # ~0.45 token-shingle jaccard < 0.6 threshold
     est = {(r["src"], r["dst"]): r["est_jaccard"] for r in kept}
     assert est[(1, 3)] == 1.0
+
+
+def test_bucket_salting_recovers_hot_bucket_pairs(spark):
+    """north_rule explicit salting: in a hot bucket whose root fails the
+    verify against everyone (template distractor with the smallest id),
+    star-only capping loses true member<->member pairs; bucket_salt
+    sub-bucket pairs recover them (pigeonhole guarantees >=2 of the 3 true
+    dups share a salt), and connectivity edges never regress."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+        minhash_edges_from_sigs,
+    )
+
+    # num_perm=8, bands=2 x rows=4. Every doc shares band-0 slots [1,2,3,4]
+    # (one hot bucket, root=id 1). Docs 2,3,7: pairwise 6/8 slots equal
+    # (est J 0.75 >= 0.6) but each pair differs inside band 1 -> no band-1
+    # bucket. Docs 4,5,6: unique band-1, only 4/8 vs anyone. Doc 1: 4/8 vs
+    # everyone -> root verify fails for every star edge.
+    band0 = [1, 2, 3, 4]
+    rows = [
+        (1, band0 + [90, 91, 92, 93]),
+        (2, band0 + [50, 51, 10, 11]),
+        (3, band0 + [50, 51, 20, 21]),
+        (7, band0 + [50, 51, 30, 31]),
+        (4, band0 + [60, 61, 62, 63]),
+        (5, band0 + [70, 71, 72, 73]),
+        (6, band0 + [80, 81, 82, 83]),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, minhash array<long>")
+    base = dict(num_perm=8, bands=2, rows_per_band=4, bucket_cap=3)
+
+    def edges(cfg):
+        e, _hot = minhash_edges_from_sigs(sigs, "doc_id", cfg)
+        out = {(r["src"], r["dst"]) for r in e.collect()}
+        from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+            release_cached_deps,
+        )
+
+        release_cached_deps(e)
+        return out
+
+    plain = edges(DedupConfig(**base))
+    salted = edges(DedupConfig(**base, bucket_salt=2))
+    true_pairs = {(2, 3), (2, 7), (3, 7)}
+    assert not (plain & true_pairs)          # star-only: recall hole
+    assert salted & true_pairs               # salting recovers >=1 true pair
+    assert plain <= salted                   # never regresses
+    # the 0.5-similarity distractor/root must not gain edges from salting
+    assert not any(1 in p for p in salted)
