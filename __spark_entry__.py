@@ -397,6 +397,32 @@ def q_suffix_span_edges(spark, sf_dir):
     return suffix_edges(docs, "doc_id", "text", SUFFIX_ORACLE_CFG).orderBy("src", "dst")
 
 
+def q_suffix_span_edges_fast(spark, sf_dir):
+    """Production suffix detector (xxhash64 anchors, operators/suffix.py) —
+    the kernel the pipeline runs. Rows-only check (xxhash64 anchor
+    selection is not SQL-expressible); span recall for both anchor modes
+    is pytest-gated on planted long-span pairs (tests/test_portable.py,
+    tests/test_suffix.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return suffix_edges(docs, "doc_id", "text", CFG).orderBy("src", "dst")
+
+
+def q_simhash_candidates_fast(spark, sf_dir):
+    """Production SimHash detector (vectorized siphash token hashes,
+    functions/hashing.py:109) through the same chunk-join/cap/verify flow
+    as the portable twin. Rows-only check; near-identical detection for
+    both hash families is pytest-gated (tests/test_simhash.py,
+    tests/test_portable.py)."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = with_simhash(docs.select("doc_id", "text"), "text").select("doc_id", "simhash")
+    edges = simhash_edges_from_sigs(sigs, "doc_id", CFG)
+    out = edges.localCheckpoint(eager=True)
+    release_cached_deps(edges)
+    return out.orderBy("src", "dst")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -419,7 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_fast": q_minhash_clusters_fast,
         "simhash_candidates": q_simhash_candidates,
+        "simhash_candidates_fast": q_simhash_candidates_fast,
         "suffix_span_edges": q_suffix_span_edges,
+        "suffix_span_edges_fast": q_suffix_span_edges_fast,
     }
 
 

@@ -20,7 +20,9 @@ BENCH_QUERIES = [
     "minhash_clusters_fast",  # PRODUCTION flagship: siphash kernel -> LSH -> verify -> CC
     "minhash_clusters",      # portable (oracle-checkable md5) twin of the flagship
     "simhash_candidates",
+    "simhash_candidates_fast",
     "suffix_span_edges",
+    "suffix_span_edges_fast",
     "exact_dup_groups",
     "ngram_jaccard_pairs",
     "retrieval_metrics",

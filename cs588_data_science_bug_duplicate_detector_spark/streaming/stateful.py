@@ -98,3 +98,31 @@ def streaming_candidate_edges(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def verified_edges_sink(
+    sigs: DataFrame,
+    id_col: str,
+    cfg: DedupConfig,
+    out_dir: str,
+):
+    """foreachBatch companion to ``streaming_candidate_edges``: each
+    micro-batch of candidate star edges is verified against the (static or
+    periodically refreshed) signatures table with the SAME estimated-
+    Jaccard check as batch (operators.minhash.verify_pairs), and the
+    surviving edges append to a parquet/Iceberg edge log::
+
+        streaming_candidate_edges(stream, cfg).writeStream
+            .foreachBatch(verified_edges_sink(sigs, "doc_id", cfg, out))
+            .option("checkpointLocation", ckpt).start()
+
+    Verification is batch-local and stateless, so exactly-once appends
+    come from the sink + checkpoint, not from this function.
+    """
+    from ..operators.minhash import verify_pairs
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        verified = verify_pairs(batch_df, sigs, id_col, cfg).select("src", "dst")
+        verified.write.mode("append").parquet(out_dir)
+
+    return _write

@@ -75,3 +75,37 @@ def test_streaming_candidates_cross_batch_state(spark, tmp_path):
         parent[find(s)] = find(d)
     assert len({find(x) for x in (5, 10, 11, 12)}) == 1
     assert find(20) != find(10)
+
+
+def test_verified_edges_sink_foreachbatch(spark, tmp_path):
+    """Candidates stream through foreachBatch verification with the batch
+    verify kernel; surviving edges append to the parquet edge log."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        verified_edges_sink,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    cfg = DedupConfig()
+    shared = _text("a")
+    docs = spark.createDataFrame(
+        [(10, shared), (11, shared), (20, _text("z"))], DOC_SCHEMA
+    )
+    docs.write.mode("overwrite").parquet(src)
+    sigs = with_minhash(docs.select("doc_id", "text"), "text", cfg).select(
+        "doc_id", "minhash"
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = (
+        streaming_candidate_edges(stream, cfg)
+        .writeStream.foreachBatch(verified_edges_sink(sigs, "doc_id", cfg, out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
+    assert (10, 11) in got
+    assert not any(20 in p for p in got)
