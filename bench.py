@@ -56,6 +56,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # one untimed warmup at the smallest sf: spins up Python UDF workers,
+    # populates codegen/parquet-reader caches. The first timed query
+    # otherwise pays 5-10s of JVM cold-start that isn't the query's cost
+    # (measured: flagship 11.3s cold vs 4.8s warm on an idle box).
+    qs["minhash_clusters_fast"](spark, sf_dir.replace(sf, "0.001") if f"sf{sf}" in sf_dir else sf_dir).count()
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
