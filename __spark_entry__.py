@@ -379,6 +379,19 @@ def q_minhash_clusters_fast(spark, sf_dir):
     return labels
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """Labels -> deduped corpus: one canonical representative per cluster
+    (longest text, min-id tie-break) + member count. The op a training
+    pipeline actually consumes downstream of the flagship."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.canonical import canonical_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = _dedup_labels(spark, sf_dir)
+    return canonical_docs(docs, labels).select(
+        "cluster_id", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "n_members"
+    )
+
+
 def q_simhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = portable.with_portable_simhash(
@@ -444,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_fast": q_minhash_clusters_fast,
+        "dedup_corpus": q_dedup_corpus,
         "simhash_candidates": q_simhash_candidates,
         "simhash_candidates_fast": q_simhash_candidates_fast,
         "suffix_span_edges": q_suffix_span_edges,
@@ -669,6 +683,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": portable.ann_lsh_sql(dim=64, k=3, n_bits=8, n_tables=4, seed=42),
         "ann_ivf_topk": portable.ann_ivf_sql(k=3, n_centroids=16, n_probe=4),
         "minhash_clusters": portable.minhash_clusters_sql(CFG),
+        "dedup_corpus": f"""
+            SELECT cluster_id, doc_id, n_chars, n_members FROM (
+              SELECT l.cluster_id, l.doc_id, d.n_chars,
+                     COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                     row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+              FROM ({portable.minhash_clusters_sql(CFG)}) l
+              JOIN documents d ON d.doc_id = l.doc_id
+            ) WHERE rk = 1
+        """,
         "simhash_candidates": portable.simhash_candidates_sql(CFG),
         "suffix_span_edges": portable.suffix_span_edges_sql(SUFFIX_ORACLE_CFG),
     }

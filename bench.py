@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "quality_scores",
     # round 3 additions
     "ann_ivf_topk",
+    "dedup_corpus",
 ]
 
 

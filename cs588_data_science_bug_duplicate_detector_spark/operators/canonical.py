@@ -1,0 +1,55 @@
+"""Canonical-representative selection: labels -> the deduped corpus.
+
+The last step a training-data pipeline actually consumes: given cluster
+labels, keep ONE representative per cluster (richest text wins — longest
+extracted text, doc_id as the deterministic tie-break) and emit the
+surviving corpus plus per-cluster bookkeeping. ≙ the reference keeping
+one row per duplicate_cluster_id when building its processed dataset
+(/root/reference/preprocess_data.py:187-214).
+
+Scale shape: one broadcast-free equi-join docs⋈labels on doc_id (both
+sides already keyed and, after the pipeline, co-written by the same job)
+and ONE window over cluster_id — no groupBy+join-back, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_docs(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """One row per cluster: (cluster_id, doc_id, <length_col>, n_members).
+
+    The representative maximizes ``length_col`` (ties -> min id). Clusters
+    of size 1 pass through unchanged, so the output IS the deduped corpus
+    keyed by its surviving doc.
+    """
+    joined = docs.select(id_col, length_col).join(
+        labels.select(id_col, cluster_col), id_col
+    )
+    w = Window.partitionBy(cluster_col)
+    ranked = (
+        joined.withColumn("_n", F.count("*").over(w))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                w.orderBy(F.desc(length_col), F.asc(id_col))
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("_rk") == 1)
+        .select(
+            cluster_col,
+            id_col,
+            length_col,
+            F.col("_n").cast("long").alias("n_members"),
+        )
+    )
