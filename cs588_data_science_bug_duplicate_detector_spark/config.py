@@ -19,6 +19,15 @@ from dataclasses import asdict, dataclass, field
 class DedupConfig:
     # --- shingling / MinHash (detector 1) ---
     shingle_k: int = 5          # tokens per shingle (k-shingles over extracted text)
+    # 'token' (default): k-shingles over [a-z0-9]+ tokens — right for
+    # space-separated scripts. 'char': k-CHARACTER sliding shingles over
+    # whitespace-collapsed lowercased text — the standard MinHash unit for
+    # CJK and other unsegmented scripts, where the ASCII tokenizer yields
+    # zero tokens and token-mode (correctly) refuses to call anything a
+    # duplicate. Char mode applies to the MinHash detector; whole-corpus
+    # runs over mixed scripts should partition by script/lang and use
+    # token mode for segmented languages (set per-partition config).
+    shingle_mode: str = "token"
     num_perm: int = 128         # MinHash permutations (reference-equivalent signature width)
     bands: int = 32             # LSH bands
     rows_per_band: int = 4      # bands * rows_per_band == num_perm

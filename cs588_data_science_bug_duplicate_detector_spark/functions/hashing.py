@@ -75,6 +75,44 @@ def _segments(token_lists: pd.Series, shingle_k: int) -> tuple[np.ndarray, np.nd
     return np.asarray(shingles, dtype=object), offsets
 
 
+def char_segments(texts: pd.Series, shingle_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-CHARACTER sliding shingles (whitespace collapsed, lowercased) —
+    the MinHash unit for unsegmented scripts (CJK), where token shingles
+    degenerate to zero tokens. Same (flat, offsets) contract as
+    ``_segments``; blank docs contribute the empty shingle and are masked
+    to NULL signatures upstream."""
+    shingles: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = " ".join((t or "").lower().split())
+        n = len(t)
+        if n >= shingle_k:
+            start = len(shingles)
+            shingles.extend(t[j : j + shingle_k] for j in range(n - shingle_k + 1))
+            counts[i] = len(shingles) - start
+        else:
+            shingles.append(t)  # whole (short or empty) doc
+            counts[i] = 1
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=offsets[1:])
+    return np.asarray(shingles, dtype=object), offsets
+
+
+def minhash_signatures_from_segments(
+    flat: np.ndarray, offsets: np.ndarray, n_docs: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Shared reduce: hash the flat shingle array once, then one
+    minimum.reduceat per permutation."""
+    h = hash64(flat)
+    sig = np.empty((n_docs, len(a)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(len(a)):
+            hv = a[j] * h + b[j]
+            sig[:, j] = np.minimum.reduceat(hv, offsets)
+    return sig.view(np.int64)
+
+
 def minhash_signatures(
     texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray,
     token_lists: pd.Series | None = None,

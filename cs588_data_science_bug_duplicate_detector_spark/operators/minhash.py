@@ -33,18 +33,28 @@ from ..functions import hashing
 
 def minhash_udf(cfg: DedupConfig):
     shingle_k, num_perm, seed = cfg.shingle_k, cfg.num_perm, cfg.seed
+    char_mode = cfg.shingle_mode == "char"
 
     def _minhash_batch(texts: pd.Series) -> pd.Series:
         a, b = hashing.minhash_perms(num_perm, seed)
-        toks = hashing.tokenize_series(texts)
-        sig = hashing.minhash_signatures(texts, shingle_k, a, b, token_lists=toks)
+        if char_mode:
+            # k-char sliding shingles (CJK/unsegmented scripts)
+            flat, offsets = hashing.char_segments(texts, shingle_k)
+            sig = hashing.minhash_signatures_from_segments(
+                flat, offsets, len(texts), a, b
+            )
+            empty = texts.fillna("").str.strip().str.len() == 0
+        else:
+            toks = hashing.tokenize_series(texts)
+            sig = hashing.minhash_signatures(texts, shingle_k, a, b, token_lists=toks)
+            empty = toks.str.len() == 0
         out = pd.Series(list(sig))
         # content-less docs (null/blank text -> zero tokens) get a NULL
         # signature: all of them share one degenerate signature otherwise,
         # which collides in EVERY band, auto-accepts, and welds every
         # failed extraction on earth into one mega-cluster. band_table
         # drops NULL sigs; such docs stay singletons.
-        out[toks.str.len() == 0] = None
+        out[empty.to_numpy()] = None
         return out
 
     return pandas_udf(_minhash_batch, ArrayType(LongType()))
