@@ -53,3 +53,33 @@ def test_cc_empty_edges(spark):
     v = spark.createDataFrame([(1,), (2,)], "id long")
     got = {r["id"]: r["cluster_id"] for r in connected_components(e, vertices=v).collect()}
     assert got == {1: 1, 2: 2}
+
+
+# --- property-based: random graphs vs the union-find oracle ----------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _edge = st.tuples(st.integers(0, 40), st.integers(0, 40))
+
+    @given(edges=st.lists(_edge, min_size=0, max_size=120))
+    @settings(max_examples=10, deadline=None)
+    def test_cc_matches_union_find_random(spark_global, edges):
+        """Any random multigraph (self-loops, duplicates, reversed edges
+        included by construction) must label identically to union-find."""
+        vertices = sorted({x for e in edges for x in e} | {777})
+        if not edges:
+            edges = [(777, 777)]
+        got = _labels_from_spark(spark_global, edges, vertices or [777])
+        oracle = union_find_oracle(edges, vertices or [777])
+        assert got == oracle
+
+    import pytest as _pytest
+
+    @_pytest.fixture(scope="module")
+    def spark_global(spark):
+        # hypothesis re-enters the test many times; reuse the session fixture
+        return spark
+
+except ImportError:  # pragma: no cover - hypothesis is in the toolchain
+    pass
