@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -60,8 +61,14 @@ def main() -> None:
     # one untimed warmup at the smallest sf: spins up Python UDF workers,
     # populates codegen/parquet-reader caches. The first timed query
     # otherwise pays 5-10s of JVM cold-start that isn't the query's cost
-    # (measured: flagship 11.3s cold vs 4.8s warm on an idle box).
-    qs["minhash_clusters_fast"](spark, sf_dir.replace(sf, "0.001") if f"sf{sf}" in sf_dir else sf_dir).count()
+    # (measured: flagship 11.3s cold vs 4.8s warm on an idle box). Only the
+    # trailing sf segment is rewritten (a blanket replace corrupted paths
+    # like /data0.1/sf0.1), falling back to sf_dir itself when no sibling
+    # sf0.001 dataset exists.
+    warm_dir = re.sub(r"sf[\d.]+/?$", "sf0.001", sf_dir)
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    qs["minhash_clusters_fast"](spark, warm_dir).count()
 
     for name in BENCH_QUERIES:
         t0 = time.time()

@@ -18,12 +18,14 @@ Python in the scoring loop. Hyperplanes are seeded (deterministic).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _dot(a, b):
@@ -90,21 +92,47 @@ def hyperplane_udf(dim: int, n_bits: int, seed: int = 42):
     return pandas_udf(_bucket, IntegerType())
 
 
-def _bucket_tables(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed: int) -> DataFrame:
-    """(id, bucket, table_id) across all hash tables — ids only, vectors are
-    NOT carried into the bucket join (they rejoin for the rescore)."""
-    tables = []
-    for t in range(n_tables):
-        udf = hyperplane_udf(dim, n_bits, seed + t)
-        tables.append(
-            df.select("id", udf(F.col("vec")).alias("bucket")).withColumn(
-                "table_id", F.lit(t)
-            )
+def hyperplane_multi_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """array<int> of bucket ids for ALL ``n_tables`` hash tables in ONE
+    Arrow batch: the vector column crosses JVM->Python once instead of
+    n_tables times (round-3 verdict #1 — at 100x the embedding table the
+    per-table passes were the dominant avoidable transfer). Table t's
+    planes come from rng(seed + t), bit-identical to ``hyperplane_udf``
+    per table, so the DuckDB oracle constants are unchanged."""
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        # (dim, n_tables * n_bits): one matmul for every table
+        planes = np.concatenate(
+            [np.random.default_rng(seed + t).standard_normal((dim, n_bits))
+             for t in range(n_tables)],
+            axis=1,
         )
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        per_table = bits.reshape(len(mat), n_tables, n_bits) @ weights
+        return pd.Series([row.astype(np.int32).tolist() for row in per_table])
+
+    return pandas_udf(_buckets, ArrayType(IntegerType()))
+
+
+def _bucket_tables(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed: int) -> DataFrame:
+    """(id, table_id, bucket) across all hash tables — ids only, vectors are
+    NOT carried into the bucket join (they rejoin for the rescore). One
+    ArrowEvalPython for the whole signature phase (hyperplane_multi_udf) +
+    a JVM-side posexplode."""
+    udf = hyperplane_multi_udf(dim, n_bits, n_tables, seed)
+    return df.select(
+        "id", F.posexplode(udf(F.col("vec"))).alias("table_id", "bucket")
+    )
+
+
+def _derived_n_bits(n_rows: int, k: int) -> int:
+    """Scale n_bits with corpus size so expected bucket occupancy stays at a
+    target independent of N: with n_bits = log2(N / target) the all-corpus
+    candidate volume is ~N * target * n_tables — linear in N, never the
+    ~N^2 / 2^n_bits a fixed n_bits degrades to at 10^9 vectors."""
+    target = max(32, 4 * k)
+    return max(4, min(30, math.ceil(math.log2(max(n_rows, 1) / target)) if n_rows > target else 4))
 
 
 def lsh_topk(
@@ -112,10 +140,11 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     n_tables: int = 4,
     seed: int = 42,
     queries: DataFrame | None = None,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket in >=1 of
     ``n_tables`` independent tables, rescored exactly within buckets.
@@ -126,12 +155,28 @@ def lsh_topk(
     (query_id, nid) pairs are deduped as bare ids; vectors join back only
     for the exact rescore, so the dedup exchange never carries array payloads
     (at dim=384 float64 that is ~6 KB/row of avoided shuffle).
+
+    Scale guards for the ALL-CORPUS mode (queries=None — round-3 verdict
+    "What's wrong #2"; both leave the queries-restricted path untouched):
+
+    - ``n_bits=None`` derives the bucket width from the corpus count so
+      expected occupancy stays constant: candidate volume is ~N * target *
+      n_tables (linear in N), not N^2 / 2^(fixed n_bits).
+    - ``bucket_cap`` bounds a degenerate bucket (e.g. many identical
+      vectors): within each (table_id, bucket) only the ``bucket_cap``
+      smallest ids serve as the CORPUS side of the self-join — every vector
+      still probes, meeting <= n_tables * bucket_cap candidates, so the
+      join is never quadratic in a hot bucket. Deterministic (id-ranked),
+      same connectivity trade as the dedup detectors' hot-bucket star path
+      (operators/minhash.py:246).
     """
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     base = _as_double(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
     )
+    if n_bits is None:
+        n_bits = _derived_n_bits(vectors.count(), k)
     buckets = _bucket_tables(base, dim, n_bits, n_tables, seed)
     if queries is not None:
         qbase = _as_double(
@@ -141,7 +186,16 @@ def lsh_topk(
         probe = F.broadcast(_bucket_tables(qbase, dim, n_bits, n_tables, seed))
     else:
         qbase = base
+        # every vector still PROBES (uncapped side); only the candidate
+        # side of a hot bucket is truncated to its bucket_cap smallest ids
         probe = buckets
+        if bucket_cap is not None:
+            wb = Window.partitionBy("table_id", "bucket").orderBy("id")
+            buckets = (
+                buckets.withColumn("_rn", F.row_number().over(wb))
+                .where(F.col("_rn") <= bucket_cap)
+                .drop("_rn")
+            )
     pairs = (
         probe.alias("a")
         .join(buckets.alias("b"), ["table_id", "bucket"])

@@ -55,8 +55,8 @@ class PipelineRun:
     stats: dict = field(default_factory=dict)
 
 
-def _fingerprint(df: DataFrame, key: str, cfg: DedupConfig, salt: str) -> str:
-    """count + order-independent content checksum + config hash.
+def _content_checksum(df: DataFrame, key: str) -> str:
+    """count + order-independent content checksum — config-INdependent.
 
     ``key`` should include the content-bearing columns (e.g. "url, text"),
     not just the row key — re-crawled pages with unchanged urls but new
@@ -66,7 +66,13 @@ def _fingerprint(df: DataFrame, key: str, cfg: DedupConfig, salt: str) -> str:
         F.count("*").alias("n"),
         F.coalesce(F.expr(f"bit_xor(xxhash64({key}))"), F.lit(0)).alias("chk"),
     ).collect()[0]
-    return f"{salt}:{cfg.fingerprint()}:{row['n']}:{row['chk']}"
+    return f"{row['n']}:{row['chk']}"
+
+
+def _fingerprint(df: DataFrame, key: str, cfg: DedupConfig, salt: str) -> str:
+    """_content_checksum + config hash (stage checkpoints invalidate on
+    either a data change or a config change)."""
+    return f"{salt}:{cfg.fingerprint()}:{_content_checksum(df, key)}"
 
 
 def _partition_histogram(io: TableIO, name: str) -> list[int]:
@@ -153,7 +159,12 @@ def run_pipeline(
     # content-bearing checksum: a re-crawl with unchanged urls but new
     # text/html must invalidate every downstream checkpoint
     pages_key = "url, text" if "text" in pages.columns else "url"
-    pages_fp = _fingerprint(pages, pages_key, cfg, "pages")
+    pages_chk = _content_checksum(pages, pages_key)
+    # data_fp is the corpus identity WITHOUT the config hash: the keep-best
+    # gate compares quality across configs, which is only meaningful within
+    # the same corpus — config changes must NOT reset it, data changes must.
+    data_fp = f"pages:{pages_chk}"
+    pages_fp = f"pages:{cfg.fingerprint()}:{pages_chk}"
 
     def build_documents():
         df = pages
@@ -183,6 +194,18 @@ def run_pipeline(
         return {"id_collisions": stats["id_collisions"]}
 
     documents = stage("documents", pages_fp, build_documents, extra_meta=documents_meta)
+    if "id_collisions" not in stats:
+        # resumed run: documents_meta never executed — backfill the collision
+        # audit from the checkpoint's lineage meta so run.stats always carries
+        # it (older checkpoints without the key pay one column-pruned re-agg).
+        doc_meta = io.read_meta("documents") or {}
+        if "id_collisions" in doc_meta:
+            stats["id_collisions"] = int(doc_meta["id_collisions"])
+        else:
+            row = documents.agg(
+                F.countDistinct("url").alias("u"), F.countDistinct("doc_id").alias("d")
+            ).collect()[0]
+            stats["id_collisions"] = int(row["u"] - row["d"])
 
     # --- stage 2: signatures ----------------------------------------------
     # detector set folded into the salt: resuming with a different set must
@@ -273,6 +296,12 @@ def run_pipeline(
         q = float(quality_fn(labels))
         best_meta = io.read_meta(best)
         prev_q = best_meta.get("quality") if (best_meta and io.exists(best)) else None
+        if prev_q is not None and best_meta.get("data_fingerprint") != data_fp:
+            # the stored best was computed on a DIFFERENT corpus (re-crawl /
+            # new pages): its quality and its doc_ids are incomparable here.
+            # Reset the gate — cross-CONFIG comparison stays live because
+            # data_fp deliberately excludes the config hash.
+            prev_q = None
         if prev_q is not None and prev_q >= q:
             labels = io.read(spark, best)
             stats["keep_best"] = {"kept": "previous", "prev_quality": prev_q, "new_quality": q}
@@ -284,6 +313,7 @@ def run_pipeline(
                     "stage": best,
                     "quality": q,
                     "input_fingerprint": edges_fp,
+                    "data_fingerprint": data_fp,
                     "config_fingerprint": cfg.fingerprint(),
                     "detectors": list(detectors),
                 },

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -116,13 +117,24 @@ def verified_edges_sink(
             .foreachBatch(verified_edges_sink(sigs, "doc_id", cfg, out))
             .option("checkpointLocation", ckpt).start()
 
-    Verification is batch-local and stateless, so exactly-once appends
-    come from the sink + checkpoint, not from this function.
+    Verification is batch-local and stateless. foreachBatch itself only
+    guarantees at-least-once invocation (a micro-batch replayed after a
+    failure runs the sink again), so the write is made idempotent PER
+    batch_id: the edge log is partitioned by batch_id and written with
+    dynamic partition overwrite — a replay of batch N rewrites exactly the
+    batch=N partition instead of appending duplicate edges. Net effect is
+    an exactly-once edge log without a transactional table format.
     """
     from ..operators.minhash import verify_pairs
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         verified = verify_pairs(batch_df, sigs, id_col, cfg).select("src", "dst")
-        verified.write.mode("append").parquet(out_dir)
+        (
+            verified.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     return _write

@@ -17,6 +17,7 @@ DedupConfig, shown against the production default.
 from __future__ import annotations
 
 import argparse
+import ast
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -30,10 +31,45 @@ from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
 
 
 def _parse_cfg(spec: str) -> DedupConfig:
+    """key=value,... overrides of DedupConfig. Values go through
+    ast.literal_eval so bool ("false" via "False"/"0"->int->bool is wrong;
+    literal False/True/0/1 parse correctly) and tuple fields (e.g.
+    k_values=(1,5)) round-trip instead of string-coercing char-by-char;
+    bare strings (shingle_mode=char) fall back to the raw text."""
+    defaults = DedupConfig()
     fields = {}
-    for kv in spec.split(","):
+    # split on commas at bracket depth 0 only, so k_values=(1,5) stays whole
+    parts, depth, cur = [], 0, []
+    for ch in spec:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for kv in parts:
         k, v = kv.split("=", 1)
-        fields[k.strip()] = type(getattr(DedupConfig(), k.strip()))(v)
+        k = k.strip()
+        want = type(getattr(defaults, k))
+        try:
+            val = ast.literal_eval(v.strip())
+        except (ValueError, SyntaxError):
+            val = v.strip()
+        if want is bool and not isinstance(val, bool):
+            if isinstance(val, str):
+                val = val.lower() in ("true", "1", "yes")
+            else:
+                val = bool(val)
+        elif want is tuple and not isinstance(val, tuple):
+            val = tuple(val) if isinstance(val, (list, set)) else (val,)
+        elif want in (int, float, str) and not isinstance(val, want):
+            val = want(val)
+        fields[k] = val
     return DedupConfig(**fields)
 
 

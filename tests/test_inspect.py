@@ -81,3 +81,25 @@ def test_compare_configs_side_by_side(spark):
     assert "TOP 5 RESULTS - PRODUCTION" in out
     assert "Found in top-5 with PRODUCTION: 2/2 (100.0%)" in out
     assert "Improvement (PRODUCTION vs WEAK (4 perms, 1 band)):" in out
+
+
+def test_parse_cfg_cli_overrides():
+    """--compare spec parsing: literal values, tuples with embedded commas,
+    and bare strings must round-trip into a valid DedupConfig (round-3
+    advice: type(...)(v) iterated tuple strings char-by-char)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "inspect_doc", "/root/repo/scripts/inspect_doc.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = mod._parse_cfg(
+        "num_perm=64,bands=16,rows_per_band=4,verify_threshold=0.5,"
+        "k_values=(1,5),anchor_hash=md5"
+    )
+    assert cfg.num_perm == 64 and cfg.bands == 16 and cfg.rows_per_band == 4
+    assert cfg.verify_threshold == 0.5
+    assert cfg.k_values == (1, 5)
+    assert cfg.anchor_hash == "md5"

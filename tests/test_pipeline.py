@@ -200,3 +200,40 @@ def test_keep_best_gate_protects_better_labels(spark, pages, tmp_path_factory):
     # labels returned ARE the protected better ones
     assert _label_map(run2.labels) == lab1
     assert os.path.exists(os.path.join(wd, "component_labels_best", "_SUCCESS"))
+
+
+def test_keep_best_gate_resets_on_new_corpus(spark, pages, tmp_path_factory):
+    """The gate compares quality only WITHIN a corpus: re-running the same
+    workdir on different data must not return stale labels whose doc_ids
+    belong to the old corpus, even when the old quality score was higher."""
+    wd = str(tmp_path_factory.mktemp("pipe_best_fp"))
+    pages_df, _, _ = pages
+
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig(), quality_fn=lambda _: 0.9)
+    assert run1.stats["keep_best"]["kept"] == "new"
+
+    # same config, LOWER score, but a DIFFERENT corpus -> the stored best is
+    # incomparable: gate resets and the new labels win
+    smaller = pages_df.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    n_smaller = smaller.count()
+    assert 0 < n_smaller < pages_df.count()
+    run2 = run_pipeline(spark, smaller, wd, DedupConfig(), quality_fn=lambda _: 0.1)
+    assert run2.stats["keep_best"]["kept"] == "new"
+    assert run2.stats["keep_best"]["prev_quality"] is None
+    assert run2.labels.count() == n_smaller
+
+    # same corpus again: cross-run comparison is live once more
+    run3 = run_pipeline(spark, smaller, wd, DedupConfig(), quality_fn=lambda _: 0.05)
+    assert run3.stats["keep_best"]["kept"] == "previous"
+
+
+def test_resumed_run_backfills_id_collisions(spark, pages, tmp_path_factory):
+    """A fully-resumed run must still expose the doc_id collision audit in
+    stats (round-3 advice: it silently vanished on resume)."""
+    wd = str(tmp_path_factory.mktemp("pipe_backfill"))
+    pages_df, _, _ = pages
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    assert run1.stats["id_collisions"] == 0
+    run2 = run_pipeline(spark, pages_df, wd, DedupConfig())
+    assert run2.stats["stages"]["documents"]["resumed"]
+    assert run2.stats["id_collisions"] == 0

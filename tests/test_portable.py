@@ -198,3 +198,16 @@ def test_fast_flagship_matches_portable_labels(spark):
         return {frozenset(v) for v in by.values()}
 
     assert partition("minhash_clusters_fast") == partition("minhash_clusters")
+
+
+def test_detector_parity_query_all_pass(spark):
+    """The driver-facing detector_parity query (value evidence for the
+    three production-kernel twins) must report passed=TRUE on every check
+    at every local sf."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_detector_parity(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert all(r["passed"] for r in rows), [
+        (r["detector"], r["check_name"]) for r in rows if not r["passed"]
+    ]

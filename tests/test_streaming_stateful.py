@@ -109,3 +109,13 @@ def test_verified_edges_sink_foreachbatch(spark, tmp_path):
     got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
     assert (10, 11) in got
     assert not any(20 in p for p in got)
+
+    # foreachBatch is at-least-once: a REPLAYED micro-batch (same batch_id)
+    # must not duplicate edges in the log — the per-batch_id dynamic
+    # partition overwrite makes the write idempotent
+    sink = verified_edges_sink(sigs, "doc_id", cfg, out)
+    cand = spark.createDataFrame([(10, 11)], "src long, dst long")
+    sink(cand, 99)
+    n1 = spark.read.parquet(out).count()
+    sink(cand, 99)  # replay of the same batch
+    assert spark.read.parquet(out).count() == n1
