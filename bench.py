@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     # round 3 additions
     "ann_ivf_topk",
     "dedup_corpus",
+    # round 4: all-corpus ANN build with the hot-bucket candidate cap
+    "ann_lsh_topk_allcorpus",
 ]
 
 

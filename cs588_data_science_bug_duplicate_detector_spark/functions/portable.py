@@ -328,6 +328,25 @@ ORDER BY src, dst
 """
 
 
+def _hyperplane_buckets_sql(dim: int, n_bits: int, n_tables: int, seed: int) -> str:
+    """(vec_id, tbl, bucket) CTE body: hyperplane-sign buckets with plane
+    constants from the SAME seeded rng as operators.ann.hyperplane_multi_udf
+    (table t uses rng(seed + t)), embedded as DuckDB literals."""
+    table_selects = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((dim, n_bits))
+        bits = []
+        for j in range(n_bits):
+            vec = ", ".join(repr(float(planes[i][j])) for i in range(dim))
+            bits.append(
+                f"CASE WHEN list_inner_product(v, [{vec}]) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        bucket = " + ".join(bits)
+        table_selects.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM e")
+    return "\nUNION ALL\n".join(table_selects)
+
+
 def ann_lsh_sql(
     dim: int,
     k: int = 3,
@@ -345,19 +364,7 @@ def ann_lsh_sql(
     vanishing at test scale (same argument as the embedding_knn ordering
     parity, which is hash-green).
     """
-    table_selects = []
-    for t in range(n_tables):
-        rng = np.random.default_rng(seed + t)
-        planes = rng.standard_normal((dim, n_bits))
-        bits = []
-        for j in range(n_bits):
-            vec = ", ".join(repr(float(planes[i][j])) for i in range(dim))
-            bits.append(
-                f"CASE WHEN list_inner_product(v, [{vec}]) > 0 THEN {1 << j} ELSE 0 END"
-            )
-        bucket = " + ".join(bits)
-        table_selects.append(f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM e")
-    buckets_sql = "\nUNION ALL\n".join(table_selects)
+    buckets_sql = _hyperplane_buckets_sql(dim, n_bits, n_tables, seed)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bk AS ({buckets_sql}),
@@ -372,6 +379,45 @@ ranked AS (
   FROM scored)
 SELECT qid AS query_id, rnk, nid AS neighbor_id
 FROM ranked WHERE rnk <= {k} AND qid < {max_query_id}
+ORDER BY query_id, rnk
+"""
+
+
+def ann_lsh_allcorpus_sql(
+    dim: int,
+    k: int = 3,
+    n_bits: int = 6,
+    n_tables: int = 2,
+    seed: int = 42,
+    bucket_cap: int = 8,
+) -> str:
+    """Oracle for operators.ann.lsh_topk in ALL-CORPUS mode with the
+    hot-bucket candidate cap (round-4 scale guard): every vector probes,
+    but within each (table, bucket) only the ``bucket_cap`` smallest
+    vec_ids serve as candidates — the id-ranked truncation reproduced
+    verbatim with a row_number window, so the cap path itself is
+    value-checked against an independent engine."""
+    buckets_sql = _hyperplane_buckets_sql(dim, n_bits, n_tables, seed)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS ({buckets_sql}),
+capped AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT vec_id, tbl, bucket,
+           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+    FROM bk)
+  WHERE rn <= {bucket_cap}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM bk a JOIN capped b USING (tbl, bucket) WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.qid, c.nid, list_cosine_similarity(ea.v, eb.v) AS s
+  FROM cand c JOIN e ea ON ea.vec_id = c.qid JOIN e eb ON eb.vec_id = c.nid),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC) AS rnk
+  FROM scored)
+SELECT qid AS query_id, rnk, nid AS neighbor_id
+FROM ranked WHERE rnk <= {k}
 ORDER BY query_id, rnk
 """
 

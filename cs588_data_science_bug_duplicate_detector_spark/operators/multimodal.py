@@ -247,7 +247,13 @@ def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
     # fall through to DecoderUnavailable rather than a decoder ValueError
     if kind == "image" and payload[:8] == _PNG_SIG:
         return image_grid_feature(decode_png(payload))
-    if kind == "audio" and (mime in ("audio/wav", "audio/x-wav") or payload[:4] == b"RIFF"):
+    # WAV dispatches on the FULL container signature (RIFF....WAVE), same
+    # contract as PNG/BMP above: a payload claiming audio/wav — or starting
+    # with RIFF but not carrying a WAVE chunk — is mislabeled, not
+    # decodable, and must fall through to DecoderUnavailable instead of
+    # surfacing wave.Error from inside the stdlib decoder (which exception
+    # a caller sees would otherwise depend on task scheduling order)
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate = decode_wav(payload)
         return audio_band_feature(samples)
     raise DecoderUnavailable(

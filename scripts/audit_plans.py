@@ -89,6 +89,19 @@ def main() -> None:
     # BELOW the bucket join (a 50-query lookup must not build all-corpus
     # top-k) — lsh_topk(queries=...) pushes it into the probe branch
     assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,50\)", plan_lsh), plan_lsh
+    # round-4 invariants for the ALL-CORPUS build: one ArrowEvalPython per
+    # bucket-table side (all n_tables hash in a single Arrow pass), no
+    # nested-loop join, and the hot-bucket candidate cap present as a
+    # row_number window over (table_id, bucket)
+    allc = E.q_ann_lsh_topk_allcorpus(spark, SF)
+    plan_allc = formatted_plan(allc)
+    assert "BroadcastNestedLoopJoin" not in plan_allc
+    assert "CartesianProduct" not in plan_allc
+    # count on the physical-plan tree (formatted mode prints every operator
+    # twice: once in the tree, once in the details section)
+    plan_allc_tree = allc._jdf.queryExecution().executedPlan().toString()
+    assert plan_allc_tree.count("ArrowEvalPython") <= 2, plan_allc_tree
+    assert "row_number" in plan_allc_tree, plan_allc_tree
     out.write(
         "## 3. ANN: brute-force baseline vs bucketed LSH\n\n"
         "`embedding_knn` (exact baseline) IS a BroadcastNestedLoopJoin by design —\n"
@@ -100,6 +113,18 @@ def main() -> None:
     out.write("```\nembedding_knn: " + m.group(0).strip() + "\n")
     joins = [l.strip() for l in plan_lsh.splitlines() if "Join" in l and "(" in l][:4]
     out.write("ann_lsh_topk joins: " + "; ".join(joins) + "\n```\n\n")
+    out.write(
+        "`ann_lsh_topk_allcorpus` (every vector probes): one ArrowEvalPython per\n"
+        "bucket-table side (all hash tables in a single Arrow pass), no nested-loop\n"
+        "join, and the hot-bucket candidate cap visible as a row_number window over\n"
+        "(table_id, bucket) — a degenerate bucket is truncated, never quadratic:\n\n"
+    )
+    allc_joins = [l.strip() for l in plan_allc.splitlines() if "Join" in l and "(" in l][:4]
+    n_arrow = plan_allc_tree.count("ArrowEvalPython")
+    out.write(
+        "```\nann_lsh_topk_allcorpus joins: " + "; ".join(allc_joins)
+        + f"\nArrowEvalPython ops: {n_arrow}; row_number cap window present\n```\n\n"
+    )
 
     # codegen coverage note
     n_codegen = plan.count("WholeStageCodegen")

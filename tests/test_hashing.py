@@ -103,3 +103,30 @@ def test_dual_signatures_match_individual_kernels():
     mh, sh = hashing.dual_signatures(texts, 5, a, b)
     assert np.array_equal(mh, hashing.minhash_signatures(texts, 5, a, b))
     assert np.array_equal(sh, hashing.simhash_signatures(texts))
+
+
+def test_blocked_minhash_reduce_matches_unblocked():
+    """The cache-blocked permutation reduction must be bit-identical to the
+    naive full-array loop across block boundaries: docs that straddle the
+    _REDUCE_BLOCK edge, a single mega-doc larger than one block, and
+    single-shingle docs."""
+    import numpy as np
+
+    from cs588_data_science_bug_duplicate_detector_spark.functions import hashing
+
+    rng = np.random.default_rng(3)
+    a, b = hashing.minhash_perms(16, 7)
+    # segment sizes chosen to straddle blocks: many mid docs + one mega-doc
+    sizes = [1, 5, hashing._REDUCE_BLOCK - 3, 7, hashing._REDUCE_BLOCK * 2 + 11, 2, 1]
+    total = sum(sizes)
+    h = rng.integers(0, 2**63, size=total, dtype=np.uint64)
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(np.asarray(sizes[:-1]), out=offsets[1:])
+
+    got = hashing._blocked_minhash_reduce(h, offsets, len(sizes), a, b)
+    want = np.empty((len(sizes), len(a)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(len(a)):
+            hv = a[j] * h + b[j]
+            want[:, j] = np.minimum.reduceat(hv, offsets)
+    assert np.array_equal(got, want.view(np.int64))

@@ -41,6 +41,11 @@ def test_extract_features_shape_and_determinism(spark, media):
 
 
 def test_real_decoder_is_explicit_stub(spark, media):
+    # every fixture row is undecodable in-container, and EVERY format path
+    # (incl. a RIFF-but-not-WAVE audio payload) maps to DecoderUnavailable —
+    # so the surfaced exception is deterministic regardless of which task
+    # fails first (this assertion was scheduling-order-flaky before the
+    # full-signature WAV dispatch fix in decode_media)
     with pytest.raises(Exception) as exc_info:
         extract_features(media, use_real_decoder=True).collect()
     assert "DecoderUnavailable" in str(exc_info.value) or "decoding requires" in str(exc_info.value)

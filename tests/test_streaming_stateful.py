@@ -119,3 +119,64 @@ def test_verified_edges_sink_foreachbatch(spark, tmp_path):
     n1 = spark.read.parquet(out).count()
     sink(cand, 99)  # replay of the same batch
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_edge_log_cc_equals_batch_clustering(spark, tmp_path):
+    """round-3 verdict #6: the invariant the operator docstring argues in
+    prose — CC over the ACCUMULATED streaming edge log equals the batch
+    bucket-connectivity clustering of the same corpus — asserted end to
+    end on a corpus split into three micro-batches."""
+    from pyspark.sql import Window
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.cc import (
+        connected_components,
+    )
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+        band_table,
+        with_minhash,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    cfg = DedupConfig()
+
+    # 3 dup groups spread ACROSS batches + unique docs; ids deliberately
+    # arrive out of order so cross-batch root re-parenting is exercised
+    groups = {g: _text(g) for g in ("a", "b", "c")}
+    batches = [
+        [(30, groups["a"]), (41, groups["b"]), (100, _text("u1"))],
+        [(10, groups["a"]), (40, groups["b"]), (101, _text("u2"))],
+        [(20, groups["a"]), (55, groups["c"]), (50, groups["c"])],
+    ]
+    all_rows = [r for b in batches for r in b]
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b, DOC_SCHEMA).write.mode(mode).parquet(src)
+        _run(spark, src, ckpt, out)
+
+    docs = spark.createDataFrame(all_rows, DOC_SCHEMA)
+    stream_edges = spark.read.parquet(out).select("src", "dst")
+    stream_labels = connected_components(stream_edges, vertices=docs.select("doc_id"))
+
+    # batch comparator: same signatures, same band keys -> per-bucket
+    # min-id star edges (exactly the connectivity the stream is built to
+    # preserve) -> CC
+    sigs = with_minhash(docs.select("doc_id", "text"), "text", cfg)
+    bands = band_table(sigs.select("doc_id", "minhash"), "doc_id", cfg)
+    w = Window.partitionBy("band_key")
+    star = (
+        bands.withColumn("root", F.min("id").over(w))
+        .where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+    batch_labels = connected_components(star, vertices=docs.select("doc_id"))
+
+    def partition(labels):
+        clusters = {}
+        for r in labels.collect():
+            clusters.setdefault(r["cluster_id"], set()).add(r["id"])
+        return {frozenset(m) for m in clusters.values()}
+
+    assert partition(stream_labels) == partition(batch_labels)
