@@ -106,17 +106,29 @@ def _fast_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every consumer (minhash_clusters, dedup_corpus, detector_parity): the
 # round-3 verdict flagged q_dedup_corpus re-running the whole flagship —
 # 5.8s of its bench time was a second input recompute, not the operator.
+# Keyed on applicationId (not id(spark)): a stopped-and-recreated session
+# gets a fresh app id, so a hit can never return a DataFrame whose
+# localCheckpoint blocks died with the old executors; bounded so a
+# long-lived process scanning many sf_dirs doesn't pin sessions forever.
 _LABEL_CACHE: dict = {}
+_LABEL_CACHE_MAX = 8
 
 
 def _cached_labels(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    key = (id(spark), sf_dir, mode)
+    try:
+        app_id = spark.sparkContext.applicationId
+        stopped = spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        app_id, stopped = None, True
+    key = (app_id, sf_dir, mode)
     hit = _LABEL_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    if hit is not None and not stopped:
+        return hit
     fn = _dedup_labels if mode == "portable" else _fast_labels
     labels = fn(spark, sf_dir).localCheckpoint(eager=True)
-    _LABEL_CACHE[key] = (spark, labels)
+    while len(_LABEL_CACHE) >= _LABEL_CACHE_MAX:
+        _LABEL_CACHE.pop(next(iter(_LABEL_CACHE)))
+    _LABEL_CACHE[key] = labels
     return labels
 
 

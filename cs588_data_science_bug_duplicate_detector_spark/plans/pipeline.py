@@ -296,14 +296,21 @@ def run_pipeline(
         q = float(quality_fn(labels))
         best_meta = io.read_meta(best)
         prev_q = best_meta.get("quality") if (best_meta and io.exists(best)) else None
-        if prev_q is not None and best_meta.get("data_fingerprint") != data_fp:
+        prev_data_fp = best_meta.get("data_fingerprint") if best_meta else None
+        if prev_q is not None and prev_data_fp is not None and prev_data_fp != data_fp:
             # the stored best was computed on a DIFFERENT corpus (re-crawl /
             # new pages): its quality and its doc_ids are incomparable here.
             # Reset the gate — cross-CONFIG comparison stays live because
-            # data_fp deliberately excludes the config hash.
+            # data_fp deliberately excludes the config hash. A best_meta
+            # WITHOUT the key (written before the fingerprint landed) is
+            # indeterminate, not different: treat it as matching so a code
+            # upgrade alone never discards a protected best checkpoint, and
+            # backfill the key below when the previous best is kept.
             prev_q = None
         if prev_q is not None and prev_q >= q:
             labels = io.read(spark, best)
+            if prev_data_fp is None:
+                io.write_meta(best, {**best_meta, "data_fingerprint": data_fp})
             stats["keep_best"] = {"kept": "previous", "prev_quality": prev_q, "new_quality": q}
         else:
             io.write(labels, best)

@@ -127,7 +127,36 @@ def verified_edges_sink(
     """
     from ..operators.minhash import verify_pairs
 
+    layout_checked = []
+
+    def _check_layout() -> None:
+        """A pre-round-4 edge log was FLAT appended parquet; this sink writes
+        a batch_id=N partitioned layout. Mixing the two in one directory makes
+        spark.read.parquet fail partition discovery ('Conflicting directory
+        structures'), so refuse up front with a migration message instead of
+        leaving a log that can no longer be read."""
+        import os
+
+        try:
+            flat = [
+                f for f in os.listdir(out_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+        except OSError:
+            return  # out_dir doesn't exist yet (first write creates it)
+        if flat:
+            raise ValueError(
+                f"edge log at {out_dir!r} contains {len(flat)} root-level parquet "
+                "files from the pre-partitioned (flat append) layout; this sink "
+                "writes batch_id=N partitions and the two layouts cannot coexist. "
+                "Migrate: spark.read.parquet(old).withColumn('batch_id', lit(-1))"
+                ".write.partitionBy('batch_id').parquet(new) — or clear the dir."
+            )
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not layout_checked:
+            _check_layout()
+            layout_checked.append(True)
         verified = verify_pairs(batch_df, sigs, id_col, cfg).select("src", "dst")
         (
             verified.withColumn("batch_id", F.lit(batch_id))

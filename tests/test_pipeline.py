@@ -237,3 +237,33 @@ def test_resumed_run_backfills_id_collisions(spark, pages, tmp_path_factory):
     run2 = run_pipeline(spark, pages_df, wd, DedupConfig())
     assert run2.stats["stages"]["documents"]["resumed"]
     assert run2.stats["id_collisions"] == 0
+
+
+def test_keep_best_gate_survives_meta_upgrade(spark, pages, tmp_path_factory):
+    """A best checkpoint written BEFORE the data_fingerprint key existed is
+    indeterminate, not different: the first run after upgrade on the same
+    corpus must still protect the stored best (round-4 advice: get() None
+    != data_fp silently discarded it) and backfill the missing key."""
+    import json
+    import os
+
+    wd = str(tmp_path_factory.mktemp("pipe_best_upgrade"))
+    pages_df, _, _ = pages
+
+    run1 = run_pipeline(spark, pages_df, wd, DedupConfig(), quality_fn=lambda _: 0.9)
+    assert run1.stats["keep_best"]["kept"] == "new"
+
+    # simulate a pre-upgrade checkpoint: strip the fingerprint key
+    meta_path = os.path.join(wd, "component_labels_best._meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fp = meta.pop("data_fingerprint")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    # same corpus, WORSE score: the legacy best must win, not be dropped
+    run2 = run_pipeline(spark, pages_df, wd, DedupConfig(), quality_fn=lambda _: 0.1)
+    assert run2.stats["keep_best"]["kept"] == "previous"
+    # and the missing key is backfilled so later corpus changes still reset
+    with open(meta_path) as f:
+        assert json.load(f)["data_fingerprint"] == fp

@@ -180,3 +180,30 @@ def test_streaming_edge_log_cc_equals_batch_clustering(spark, tmp_path):
         return {frozenset(m) for m in clusters.values()}
 
     assert partition(stream_labels) == partition(batch_labels)
+
+
+def test_verified_edges_sink_rejects_legacy_flat_layout(spark, tmp_path):
+    """A pre-partitioned (flat appended) edge log cannot coexist with the
+    batch_id=N layout — parquet partition discovery fails on the mix. The
+    sink must refuse with a migration message instead of corrupting the
+    log (round-4 advice)."""
+    import pytest
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        verified_edges_sink,
+    )
+
+    out = str(tmp_path / "legacy_log")
+    cfg = DedupConfig()
+    docs = spark.createDataFrame([(10, _text("a")), (11, _text("a"))], DOC_SCHEMA)
+    sigs = with_minhash(docs.select("doc_id", "text"), "text", cfg).select(
+        "doc_id", "minhash"
+    )
+    # legacy layout: flat root-level parquet, no batch_id partitions
+    spark.createDataFrame([(10, 11)], "src long, dst long").write.parquet(out)
+
+    sink = verified_edges_sink(sigs, "doc_id", cfg, out)
+    cand = spark.createDataFrame([(10, 11)], "src long, dst long")
+    with pytest.raises(ValueError, match="flat append"):
+        sink(cand, 0)
