@@ -140,7 +140,7 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    n_bits: int | None = 8,
+    n_bits: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
     queries: DataFrame | None = None,
@@ -159,9 +159,12 @@ def lsh_topk(
     Scale guards for the ALL-CORPUS mode (queries=None — round-3 verdict
     "What's wrong #2"; both leave the queries-restricted path untouched):
 
-    - ``n_bits=None`` derives the bucket width from the corpus count so
-      expected occupancy stays constant: candidate volume is ~N * target *
-      n_tables (linear in N), not N^2 / 2^(fixed n_bits).
+    - ``n_bits=None`` (the DEFAULT since round 5 — a caller taking the
+      defaults on a 10^9-vector corpus must get the scale-correct index,
+      not a fixed-8 width whose recall silently collapses under the cap)
+      derives the bucket width from the corpus count so expected occupancy
+      stays constant: candidate volume is ~N * target * n_tables (linear
+      in N), not N^2 / 2^(fixed n_bits). Pass an int to pin the width.
     - ``bucket_cap`` bounds a degenerate bucket (e.g. many identical
       vectors): within each (table_id, bucket) only the ``bucket_cap``
       smallest ids serve as the CORPUS side of the self-join — every vector
