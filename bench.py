@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "dedup_corpus",
     # round 4: all-corpus ANN build with the hot-bucket candidate cap
     "ann_lsh_topk_allcorpus",
+    # round 5: real-codec multimodal decode + md5 media-dedup (mapInPandas)
+    "media_dedup",
 ]
 
 

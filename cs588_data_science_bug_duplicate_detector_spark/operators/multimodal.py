@@ -323,6 +323,107 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, use_real_decoder: bool
     return videos.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+METADATA_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "n_samples int, feat_mean double"
+)
+
+
+def decode_metadata_row(kind: str, mime: str | None, payload: bytes) -> tuple[int, int, int, float]:
+    """One payload -> (width, height, n_samples, feat_mean) through the real
+    codecs (magic-byte dispatch, same contract as ``decode_media``). Images
+    report (w, h, 0); audio (0, 0, n_samples). ``feat_mean`` is the float64
+    mean of the decoded FEATURE_DIM feature rounded to 6 — a content-
+    sensitive scalar that breaks if any stage of decode (row order, BGR
+    swap, filter reversal, PCM scaling) is wrong."""
+    w = h = ns = 0
+    if kind == "image" and payload[:2] == b"BM":
+        px = decode_bmp(payload)
+        h, w = px.shape[:2]
+        feat = image_grid_feature(px)
+    elif kind == "image" and payload[:8] == _PNG_SIG:
+        px = decode_png(payload)
+        h, w = px.shape[:2]
+        feat = image_grid_feature(px)
+    elif kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav(payload)
+        ns = len(samples)
+        feat = audio_band_feature(samples)
+    else:
+        raise DecoderUnavailable(f"no in-container codec for kind={kind} mime={mime!r}")
+    return w, h, ns, round(float(np.asarray(feat, dtype=np.float64).mean()), 6)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """media -> per-item decoded metadata through the REAL codecs:
+    (media_id, kind, n_bytes, width, height, n_samples, feat_mean).
+    One Arrow pass; raises DecoderUnavailable for formats without
+    in-container codecs."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "width", "height", "n_samples", "feat_mean"
+            )}
+            for mid, kind, mime, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, ns, fm = decode_metadata_row(kind, mime, payload)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_samples"].append(ns)
+                out["feat_mean"].append(fm)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=METADATA_SCHEMA)
+
+
+def demo_payload_expected(n: int = 7) -> list[tuple]:
+    """Driver-side expected rows for the ``demo_payloads`` fixtures:
+    (idx, payload_md5, kind, width, height, n_samples, feat_mean).
+
+    md5 comes from ``hashlib`` (Python/OpenSSL) while the Spark query
+    hashes the same bytes with the JVM's ``F.md5`` — two independent md5
+    implementations over payloads that cross the Arrow boundary, so a
+    byte-level corruption anywhere in the binary-column plumbing breaks
+    the driver's value hash."""
+    import hashlib
+
+    rows = []
+    for idx, kind, mime, payload, _dur in demo_payloads(n):
+        w, h, ns, fm = decode_metadata_row(kind, mime, payload)
+        rows.append((idx, hashlib.md5(payload).hexdigest(), kind, w, h, ns, fm))
+    return rows
+
+
+def demo_payloads(n: int = 7) -> list[tuple[int, str, str, bytes, int]]:
+    """``n`` deterministic (idx, kind, mime, payload, duration_ms) fixtures
+    cycling through the three real codecs — analytic pixel/sample patterns,
+    no RNG, so the driver's Spark query and the DuckDB oracle (which embeds
+    hashlib md5 + direct-decode metadata of the SAME bytes) agree across
+    processes. Gradient patterns exercise row order, BGR swap and PCM
+    scaling, not just constant fills."""
+    out = []
+    for idx in range(n):
+        fam = idx % 3
+        if fam == 0:
+            y, x, c = np.indices((8, 8, 3))
+            px = ((x * 3 + y * 5 + c * 7 + idx * 11) % 256).astype(np.uint8)
+            out.append((idx, "image", "image/bmp", encode_bmp(px), 0))
+        elif fam == 1:
+            y, x, c = np.indices((8, 8, 3))
+            px = ((x * 7 + y * 2 + c * 3 + idx * 13) % 256).astype(np.uint8)
+            out.append((idx, "image", "image/png", encode_png(px), 0))
+        else:
+            i = np.arange(1600)
+            samples = (((i * (idx + 3)) % 2000) - 1000).astype(np.int16)
+            out.append((idx, "audio", "audio/wav", encode_wav(samples), 100))
+    return out
+
+
 def media_dedup_edges(media: DataFrame) -> DataFrame:
     """Exact-payload dedup for media columns: md5 over binary, star edges."""
     h = media.select(F.col("media_id").alias("id"), F.md5("payload").alias("h"))

@@ -284,3 +284,58 @@ def test_png_dispatch_and_unsupported_variants():
         raise AssertionError("expected DecoderUnavailable")
     except DecoderUnavailable:
         pass
+
+
+def test_media_metadata_matches_driver_side_decode(spark):
+    """The distributed media_metadata pass (mapInPandas over binary columns
+    crossing Arrow) must agree exactly with driver-side direct decode of
+    the same deterministic fixtures — dims, sample counts, and the
+    content-sensitive feature mean."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        demo_payload_expected,
+        demo_payloads,
+        media_metadata,
+    )
+
+    fixtures = demo_payloads(7)
+    media = spark.createDataFrame(
+        [(idx, kind, mime, bytearray(p)) for idx, kind, mime, p, _ in fixtures],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_samples"], r["feat_mean"])
+        for r in media_metadata(media).collect()
+    }
+    want = {
+        idx: (w, h, ns, fm)
+        for idx, _md5, _kind, w, h, ns, fm in demo_payload_expected(7)
+    }
+    assert got == want
+    # the fixtures hit all three codec families and are pairwise distinct
+    kinds = {k for _, k, _, _, _ in fixtures}
+    assert kinds == {"image", "audio"}
+    payloads = [p for _, _, _, p, _ in fixtures]
+    assert len({p for p in payloads}) == 7
+
+
+def test_media_metadata_jvm_md5_equals_hashlib(spark):
+    """JVM F.md5 over the broadcast binary column == hashlib md5 of the
+    original bytes: two independent md5 implementations across the Arrow
+    boundary (the cross-check the media_dedup oracle leans on)."""
+    import hashlib
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
+        demo_payloads,
+    )
+
+    fixtures = demo_payloads(7)
+    media = spark.createDataFrame(
+        [(idx, bytearray(p)) for idx, _, _, p, _ in fixtures],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: r["h"]
+        for r in media.select("media_id", F.md5("payload").alias("h")).collect()
+    }
+    want = {idx: hashlib.md5(p).hexdigest() for idx, _, _, p, _ in fixtures}
+    assert got == want
