@@ -95,7 +95,7 @@ def with_dual_signatures(df: DataFrame, text_col: str, cfg: DedupConfig) -> Data
 
 
 def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "minhash",
-               string_keys: bool = False) -> DataFrame:
+               string_keys: bool = False, keep_cols: tuple = ()) -> DataFrame:
     """(id, band_key): one row per band per doc, JVM-side only.
 
     band_key folds the band index INTO the hash (xxhash64(band_id, slice)),
@@ -125,7 +125,11 @@ def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "m
     # NULL signatures = content-less docs (zero tokens): never candidates
     return (
         sigs.where(F.col(sig_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.explode(bands).alias("band_key"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(bands).alias("band_key"),
+            *keep_cols,  # e.g. the event-time column for streaming TTL
+        )
     )
 
 
