@@ -727,9 +727,9 @@ def q_detector_parity(spark, sf_dir):
     """Driver-visible value parity for the production (siphash/xxhash64)
     detector kernels vs their oracle-checked portable twins (round-3
     verdict "Next round #1": the three ``_fast`` queries were ``no_oracle``
-    rows whose only evidence was the pytest suite). Five self-evidencing
+    rows whose only evidence was the pytest suite). Seven self-evidencing
     checks, each emitted as (detector, check_name, passed); the DuckDB
-    oracle pins all five to TRUE, so any false value hash-mismatches in
+    oracle pins all seven to TRUE, so any false value hash-mismatches in
     CORRECTNESS_r{N}.json:
 
     - minhash: production-kernel flagship labels are PARTITION-EQUAL to the
@@ -744,6 +744,9 @@ def q_detector_parity(spark, sf_dir):
       selection degenerates to "every position", so any divergence in the
       window machinery surfaces as a symmetric difference; plus planted
       full-doc copies (span >= suffix_window guaranteed) all reconnect.
+    - suffix at PRODUCTION anchor density (anchor_mod=4, round-4 verdict
+      #7): planted full-doc copies whose base doc emits >=1 content-
+      defined anchored window must reconnect under BOTH hash families.
     """
     from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
 
@@ -824,6 +827,30 @@ def q_detector_parity(spark, sf_dir):
     )
     sx_lab = connected_components(ef, vertices=sx_all.select("doc_id"))
     out.append(_pairs_connected_agg(sx_lab, sx_pairs, "suffix", "planted_span_recall_1_fast"))
+
+    # --- suffix at PRODUCTION anchor density (round-4 verdict #7): the
+    # anchor_mod=1 rows prove the window machinery with anchor selection
+    # degenerated away; these prove the CONTENT-DEFINED anchor path both
+    # families actually ship (anchor_mod=4). Anchoring is probabilistic per
+    # doc, so pairs are restricted to base docs that emit >=1 anchored
+    # window under the family being checked — for those, a full-doc copy
+    # shares the window hash DETERMINISTICALLY and must reconnect; >0 such
+    # pairs is asserted inside _pairs_connected_agg (vacuous truth fails).
+    from cs588_data_science_bug_duplicate_detector_spark.operators.suffix import window_table
+
+    for acfg, check in (
+        (CFG, "planted_span_recall_prod_fast"),
+        (SUFFIX_ORACLE_CFG, "planted_span_recall_prod_portable"),
+    ):
+        ep_prod = suffix_edges(sx_all, "doc_id", "text", acfg).select("src", "dst")
+        lab_prod = connected_components(ep_prod, vertices=sx_all.select("doc_id"))
+        anchored = (
+            window_table(sx_base, "doc_id", "text", acfg)
+            .select(F.col("id").alias("a"))
+            .distinct()
+        )
+        pairs_prod = sx_pairs.join(anchored, "a", "left_semi")
+        out.append(_pairs_connected_agg(lab_prod, pairs_prod, "suffix", check))
 
     res = out[0]
     for df in out[1:]:
@@ -1109,7 +1136,9 @@ def oracle_sql() -> dict[str, str]:
               ('simhash', 'planted_exact_recall_1_fast', TRUE),
               ('simhash', 'planted_exact_recall_1_portable', TRUE),
               ('suffix',  'fast_vs_portable_edges_equal_exhaustive', TRUE),
-              ('suffix',  'planted_span_recall_1_fast', TRUE)
+              ('suffix',  'planted_span_recall_1_fast', TRUE),
+              ('suffix',  'planted_span_recall_prod_fast', TRUE),
+              ('suffix',  'planted_span_recall_prod_portable', TRUE)
             ) AS t(detector, check_name, passed)
             ORDER BY detector, check_name
         """,

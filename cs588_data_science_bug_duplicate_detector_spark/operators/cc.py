@@ -64,6 +64,7 @@ def connected_components(
     on_iteration=None,
     reliable: bool = False,
     pre_deduped: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src,dst) [+ vertices(id)] -> labels(id, cluster_id=min member).
 
@@ -84,11 +85,14 @@ def connected_components(
     from scaling at small corpus sizes).
     """
     sc = edges.sparkSession.sparkContext
-    if reliable and sc._jsc.sc().getCheckpointDir().isEmpty():
-        import os
-        import tempfile
+    if reliable:
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc._jsc.sc().getCheckpointDir().isEmpty():
+            import os
+            import tempfile
 
-        sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "dupdetect-ckpt"))
+            sc.setCheckpointDir(os.path.join(tempfile.gettempdir(), "dupdetect-ckpt"))
 
     def _ckpt_with_summary(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
         obs = Observation()

@@ -279,10 +279,17 @@ def run_pipeline(
     edges_fp = _fingerprint(edges, "src, dst", cfg, f"edges[{det_salt}]")
 
     def build_labels():
-        # no .distinct() here: connected_components dedups once internally
+        # no .distinct() here: connected_components dedups once internally.
+        # reliable=True (round-4 verdict #5): the pipeline HAS a durable
+        # workdir, so each CC round checkpoints to disk under it — executor
+        # loss mid-loop at 10^12-edge scale recomputes from the last round's
+        # files instead of restarting the whole iteration from the detect
+        # stage (localCheckpoint blocks die with their executors).
         cc = connected_components(
             edges.select("src", "dst"),
             vertices=documents.select("doc_id"),
+            reliable=True,
+            checkpoint_dir=os.path.join(workdir, "_cc_checkpoints"),
         )
         return documents.select("url", "doc_id").join(
             cc.withColumnRenamed("id", "doc_id"), "doc_id"
