@@ -111,12 +111,21 @@ def _lloyd_refine(base: DataFrame, cents: np.ndarray, iters: int) -> np.ndarray:
     return cents
 
 
+def _derived_n_centroids(n_rows: int) -> int:
+    """sqrt(N) coarse centroids (the standard IVF sizing): expected
+    inverted-list length sqrt(N), so probe cost n_probe*sqrt(N) and the
+    all-corpus join volume N*n_probe*sqrt(N) — sublinear list growth at
+    any corpus size, where a FIXED n_centroids degrades to lists of N/C
+    (effectively a capped brute force at 10^9 vectors)."""
+    return max(4, min(65_536, int(np.sqrt(max(n_rows, 1)))))
+
+
 def ivf_topk(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     queries: DataFrame | None = None,
     sample_hash: str = "xxhash64",
@@ -126,6 +135,8 @@ def ivf_topk(
 
     ``queries`` (like brute_force_topk/lsh_topk) restricts the probe side
     BEFORE the inverted-list join and is broadcast when given.
+    ``n_centroids=None`` (default — same scale rule as lsh_topk's derived
+    n_bits) sizes the index as sqrt(N); pass an int to pin it.
     ``lloyd_iters`` > 0 refines the hash-sampled centroids with that many
     Lloyd's iterations over the corpus (one Arrow assign pass + one
     Catalyst mean reduction each) — a trained quantizer tightens the lists
@@ -134,6 +145,8 @@ def ivf_topk(
     base = _as_double(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
     )
+    if n_centroids is None:
+        n_centroids = _derived_n_centroids(vectors.count())
     cents = _sample_centroids(base, n_centroids, sample_hash)
     if lloyd_iters > 0:
         cents = _lloyd_refine(base, cents, lloyd_iters)

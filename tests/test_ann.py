@@ -279,3 +279,32 @@ def test_lsh_default_n_bits_is_corpus_derived(spark, vectors):
         assert result_set(default_res) == result_set(explicit_res)
     # the two corpora derive different widths — the default actually scales
     assert _derived_n_bits(200, 3) != _derived_n_bits(800, 3)
+
+
+def test_ivf_default_n_centroids_is_corpus_derived(spark, vectors):
+    """Same scale rule as lsh_topk's derived n_bits: a default-args IVF
+    build sizes the index as sqrt(N) (expected list length sqrt(N)), never
+    a fixed count whose lists grow linearly with the corpus."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import (
+        _derived_n_centroids,
+        ivf_topk,
+    )
+
+    df, _rows = vectors
+
+    def result_set(res):
+        return {(r["query_id"], r["rank"], r["neighbor_id"]) for r in res.collect()}
+
+    n = df.count()
+    derived = _derived_n_centroids(n)
+    assert derived == 14  # sqrt(200)
+    q = df.where(F.col("vec_id") < 20)
+    default_res = ivf_topk(df, "vec_id", "embedding", k=3, n_probe=3, queries=q)
+    explicit_res = ivf_topk(
+        df, "vec_id", "embedding", k=3, n_probe=3, queries=q, n_centroids=derived
+    )
+    assert result_set(default_res) == result_set(explicit_res)
+    # sublinear growth + bounds
+    assert _derived_n_centroids(10**6) == 1000
+    assert _derived_n_centroids(10**12) == 65_536
+    assert _derived_n_centroids(1) == 4
