@@ -207,7 +207,7 @@ def test_detector_parity_query_all_pass(spark):
     import __spark_entry__ as entrymod
 
     rows = entrymod.q_detector_parity(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 5
+    assert len(rows) == 7  # round 5 added the two production-anchor suffix rows
     assert all(r["passed"] for r in rows), [
         (r["detector"], r["check_name"]) for r in rows if not r["passed"]
     ]

@@ -51,10 +51,13 @@ def test_streaming_candidates_cross_batch_state(spark, tmp_path):
     out = str(tmp_path / "out")
     shared = _text("a")
 
-    # batch 1: 10 and 11 are exact dups (every band collides); 20 unrelated
+    # batch 1: 10 and 11 are exact dups (every band collides); 20 unrelated.
+    # coalesce(1): with maxFilesPerTrigger=1 each FILE is a micro-batch, and
+    # this test's delta assertions need each append to arrive as ONE batch
+    # (split across two, the (5,12) edge depends on file arrival order)
     spark.createDataFrame(
         [(10, shared), (11, shared), (20, _text("z"))], DOC_SCHEMA
-    ).write.mode("overwrite").parquet(src)
+    ).coalesce(1).write.mode("overwrite").parquet(src)
     e1 = _run(spark, src, ckpt, out)
     assert (10, 11) in e1
     assert not any(20 in pair for pair in e1)
@@ -63,7 +66,7 @@ def test_streaming_candidates_cross_batch_state(spark, tmp_path):
     # arrives with a SMALLER id than the stored root 10 -> root re-parents
     spark.createDataFrame(
         [(12, shared), (5, shared)], DOC_SCHEMA
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     e2 = _run(spark, src, ckpt, out)
     delta = e2 - e1
     assert (5, 12) in delta
