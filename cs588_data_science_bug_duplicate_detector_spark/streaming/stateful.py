@@ -68,9 +68,10 @@ def _make_bucket_update(state_ttl_ms: int | None, ttl_mode: str):
         for pdf in pdfs:
             ids.update(int(x) for x in pdf["id"])
             if ttl_mode == "event":
-                m = pdf["ts"].max()
-                m_ms = int(pd.Timestamp(m).value // 1_000_000)
-                ts_max_ms = m_ms if ts_max_ms is None else max(ts_max_ms, m_ms)
+                valid = pdf["ts"].dropna()  # null crawl ts must not poison max()
+                if len(valid):
+                    m_ms = int(pd.Timestamp(valid.max()).value // 1_000_000)
+                    ts_max_ms = m_ms if ts_max_ms is None else max(ts_max_ms, m_ms)
         (old_root,) = state.get if state.exists else (None,)
         root = min(ids) if old_root is None else min(old_root, min(ids))
         dsts = sorted(ids - {root})
@@ -81,9 +82,12 @@ def _make_bucket_update(state_ttl_ms: int | None, ttl_mode: str):
             # crawl-time horizon: expire when the WATERMARK passes the last
             # event this bucket saw + ttl. Clamp above the current watermark
             # (Spark rejects timers at/behind it — possible when replaying
-            # events much older than the stream's high-water mark).
+            # events much older than the stream's high-water mark). A batch
+            # whose rows ALL carry null ts anchors the timer at the
+            # watermark instead (expires ttl after the stream's own clock).
             wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(ts_max_ms + state_ttl_ms, wm + 1))
+            anchor = ts_max_ms if ts_max_ms is not None else wm
+            state.setTimeoutTimestamp(max(anchor + state_ttl_ms, wm + 1))
         elif ttl_mode == "processing":
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"src": [root] * len(dsts), "dst": dsts})

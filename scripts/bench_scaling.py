@@ -151,8 +151,17 @@ def main() -> None:
     if args.paired:
         pairs = []
         for i in range(args.paired):
-            hi = run_pinned(levels[1])
-            lo = run_pinned(levels[0])
+            # alternate leg order per pair: monotone host drift inflates the
+            # ratio when it speeds the SECOND leg and deflates it when it
+            # slows it — alternating cancels the direction across pairs
+            # (round-5 data point: one pair read 0.397 purely because its lo
+            # leg caught a fast phase its hi leg missed)
+            if i % 2 == 0:
+                hi = run_pinned(levels[1])
+                lo = run_pinned(levels[0])
+            else:
+                lo = run_pinned(levels[0])
+                hi = run_pinned(levels[1])
             pairs.append({
                 "lo_sec": lo["sec"], "hi_sec": hi["sec"],
                 "efficiency": round(lo["sec"] / hi["sec"] / 4.0, 3),
