@@ -120,7 +120,12 @@ def _cached_labels(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
         stopped = spark.sparkContext._jsc.sc().isStopped()
     except Exception:
         app_id, stopped = None, True
-    key = (app_id, sf_dir, mode)
+    # app_id guards against a stopped-and-recreated context (dead
+    # localCheckpoint blocks); id(spark) additionally keys per SESSION —
+    # two sessions sharing one context (spark.newSession()) may differ in
+    # session-local conf, and a DataFrame is bound to the session that
+    # built it
+    key = (app_id, id(spark), sf_dir, mode)
     hit = _LABEL_CACHE.get(key)
     if hit is not None and not stopped:
         return hit
@@ -520,8 +525,10 @@ def q_streaming_batch_equiv(spark, sf_dir):
         streaming_candidate_edges,
     )
 
-    # offset % 3 == 1: every planted copy lands in a DIFFERENT micro-batch
-    # than its original, so recovering the pair requires cross-batch state
+    # offset % 3 == 2 (i.e. != 0): every planted copy lands in a DIFFERENT
+    # micro-batch than its original (residue shifts by 2 mod 3), so
+    # recovering the pair requires cross-batch state — keep any replacement
+    # offset OFF % 3 != 0 or the check passes vacuously in-batch
     OFF = 40_000_001
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = base.where(F.col("doc_id") % 25 == 0).select(

@@ -162,9 +162,13 @@ def lsh_topk(
     - ``n_bits=None`` (the DEFAULT since round 5 — a caller taking the
       defaults on a 10^9-vector corpus must get the scale-correct index,
       not a fixed-8 width whose recall silently collapses under the cap)
-      derives the bucket width from the corpus count so expected occupancy
-      stays constant: candidate volume is ~N * target * n_tables (linear
-      in N), not N^2 / 2^(fixed n_bits). Pass an int to pin the width.
+      derives the bucket width from the corpus count IN ALL-CORPUS MODE
+      ONLY, so expected occupancy stays constant: candidate volume is
+      ~N * target * n_tables (linear in N), not N^2 / 2^(fixed n_bits).
+      The queries-restricted path keeps width 8 under the default — its
+      cost is |Q|-bounded, and a corpus-derived ~25-bit signature at 10^9
+      vectors would collapse per-table match probability (and recall) for
+      a plain lookup. Pass an int to pin the width in either mode.
     - ``bucket_cap`` bounds a degenerate bucket (e.g. many identical
       vectors): within each (table_id, bucket) only the ``bucket_cap``
       smallest ids serve as the CORPUS side of the self-join — every vector
@@ -179,7 +183,9 @@ def lsh_topk(
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec"
     )
     if n_bits is None:
-        n_bits = _derived_n_bits(vectors.count(), k)
+        # occupancy-derived width is an ALL-CORPUS candidate-volume control;
+        # a query lookup wants recall, not volume — keep the classic 8
+        n_bits = _derived_n_bits(vectors.count(), k) if queries is None else 8
     buckets = _bucket_tables(base, dim, n_bits, n_tables, seed)
     if queries is not None:
         qbase = _as_double(

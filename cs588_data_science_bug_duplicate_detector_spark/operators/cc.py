@@ -85,8 +85,15 @@ def connected_components(
     from scaling at small corpus sizes).
     """
     sc = edges.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if reliable:
         if checkpoint_dir is not None:
+            # the checkpoint dir is SESSION-GLOBAL state: remember the
+            # caller's setting and restore it after the loop, so one
+            # pipeline's workdir never leaks into later reliable callers
+            # (or a concurrent pipeline sharing the session)
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt_dir = None if opt.isEmpty() else opt.get()
             sc.setCheckpointDir(checkpoint_dir)
         elif sc._jsc.sc().getCheckpointDir().isEmpty():
             import os
@@ -122,6 +129,17 @@ def connected_components(
             break
         prev = cur
 
+    if reliable and checkpoint_dir is not None:
+        # restore the caller's global setting; if there was none, point at
+        # the stable tempdir fallback — leaving the global dir aimed into
+        # this caller's (possibly soon-deleted) workdir would misdirect the
+        # next reliable caller that doesn't pass its own dir
+        import os
+        import tempfile
+
+        sc.setCheckpointDir(
+            prev_ckpt_dir or os.path.join(tempfile.gettempdir(), "dupdetect-ckpt")
+        )
     labels = (
         e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
         .unionByName(e.select(F.col("dst").alias("id"), F.col("dst").alias("cluster_id")))

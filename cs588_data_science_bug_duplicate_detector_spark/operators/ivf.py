@@ -126,7 +126,7 @@ def ivf_topk(
     vec_col: str,
     k: int,
     n_centroids: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     queries: DataFrame | None = None,
     sample_hash: str = "xxhash64",
     lloyd_iters: int = 0,
@@ -136,7 +136,13 @@ def ivf_topk(
     ``queries`` (like brute_force_topk/lsh_topk) restricts the probe side
     BEFORE the inverted-list join and is broadcast when given.
     ``n_centroids=None`` (default — same scale rule as lsh_topk's derived
-    n_bits) sizes the index as sqrt(N); pass an int to pin it.
+    n_bits) sizes the index as sqrt(N); pass an int to pin it. One extra
+    count() job pays for the derivation on default-args calls.
+    ``n_probe=None`` (default) scales with the index as
+    max(4, round(sqrt(n_centroids))) — standard IVF practice; keeping a
+    FIXED probe count while n_centroids grows as sqrt(N) would scan a
+    vanishing 4/sqrt(N) fraction of the corpus and silently trade recall
+    for the cost win. Pass an int to pin it.
     ``lloyd_iters`` > 0 refines the hash-sampled centroids with that many
     Lloyd's iterations over the corpus (one Arrow assign pass + one
     Catalyst mean reduction each) — a trained quantizer tightens the lists
@@ -147,6 +153,8 @@ def ivf_topk(
     )
     if n_centroids is None:
         n_centroids = _derived_n_centroids(vectors.count())
+    if n_probe is None:
+        n_probe = max(4, round(np.sqrt(n_centroids)))
     cents = _sample_centroids(base, n_centroids, sample_hash)
     if lloyd_iters > 0:
         cents = _lloyd_refine(base, cents, lloyd_iters)

@@ -233,33 +233,36 @@ def audio_band_feature(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarra
     return np.array([np.sqrt((b**2).mean()) if len(b) else 0.0 for b in bands], dtype=np.float32)
 
 
-def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
-    """Real decode -> FEATURE_DIM feature. Raises DecoderUnavailable for
-    formats needing external codecs."""
+def _decode_payload(kind: str, mime: str | None, payload: bytes):
+    """THE single magic-byte dispatch for every decode consumer:
+    -> ('image', (H, W, 3) pixels) or ('audio', int16 samples).
+
+    Dispatch is on magic bytes (BM / PNG signature / full RIFF....WAVE), so
+    a payload whose mime CLAIMS a format but whose bytes don't carry it is
+    mislabeled, not decodable — it falls through to DecoderUnavailable
+    instead of surfacing a format decoder's internal ValueError/wave.Error
+    (which exception a caller sees would otherwise depend on scheduling).
+    Add a codec here (e.g. JPEG via PIL) and extract_features,
+    media_metadata, and the driver oracle constants all pick it up."""
     mime = (mime or "").lower()
-    # empty/unknown mime dispatches on magic bytes ONLY — a non-BMP payload
-    # must fail with DecoderUnavailable (the documented contract), never
-    # fall into a format decoder and surface its internal ValueError
-    if kind == "image" and (mime == "image/bmp" or payload[:2] == b"BM"):
-        return image_grid_feature(decode_bmp(payload))
-    # PNG dispatches on magic bytes alone: a payload CLAIMING image/png but
-    # not starting with the PNG signature is mislabeled, not decodable —
-    # fall through to DecoderUnavailable rather than a decoder ValueError
+    if kind == "image" and payload[:2] == b"BM":
+        return "image", decode_bmp(payload)
     if kind == "image" and payload[:8] == _PNG_SIG:
-        return image_grid_feature(decode_png(payload))
-    # WAV dispatches on the FULL container signature (RIFF....WAVE), same
-    # contract as PNG/BMP above: a payload claiming audio/wav — or starting
-    # with RIFF but not carrying a WAVE chunk — is mislabeled, not
-    # decodable, and must fall through to DecoderUnavailable instead of
-    # surfacing wave.Error from inside the stdlib decoder (which exception
-    # a caller sees would otherwise depend on task scheduling order)
+        return "image", decode_png(payload)
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _rate = decode_wav(payload)
-        return audio_band_feature(samples)
+        return "audio", samples
     raise DecoderUnavailable(
         f"no in-container codec for kind={kind} mime={mime!r} "
         "(JPEG needs PIL, MP3 needs librosa, video needs av/ffmpeg)"
     )
+
+
+def decode_media(kind: str, mime: str | None, payload: bytes) -> np.ndarray:
+    """Real decode -> FEATURE_DIM feature. Raises DecoderUnavailable for
+    formats needing external codecs."""
+    family, data = _decode_payload(kind, mime, payload)
+    return image_grid_feature(data) if family == "image" else audio_band_feature(data)
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -335,22 +338,16 @@ def decode_metadata_row(kind: str, mime: str | None, payload: bytes) -> tuple[in
     report (w, h, 0); audio (0, 0, n_samples). ``feat_mean`` is the float64
     mean of the decoded FEATURE_DIM feature rounded to 6 — a content-
     sensitive scalar that breaks if any stage of decode (row order, BGR
-    swap, filter reversal, PCM scaling) is wrong."""
-    w = h = ns = 0
-    if kind == "image" and payload[:2] == b"BM":
-        px = decode_bmp(payload)
-        h, w = px.shape[:2]
-        feat = image_grid_feature(px)
-    elif kind == "image" and payload[:8] == _PNG_SIG:
-        px = decode_png(payload)
-        h, w = px.shape[:2]
-        feat = image_grid_feature(px)
-    elif kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        samples, _rate = decode_wav(payload)
-        ns = len(samples)
-        feat = audio_band_feature(samples)
+    swap, filter reversal, PCM scaling) is wrong. Dispatch is shared with
+    ``decode_media`` (``_decode_payload``) so the two consumers can never
+    disagree on which payloads are decodable."""
+    family, data = _decode_payload(kind, mime, payload)
+    if family == "image":
+        h, w = data.shape[:2]
+        ns, feat = 0, image_grid_feature(data)
     else:
-        raise DecoderUnavailable(f"no in-container codec for kind={kind} mime={mime!r}")
+        w = h = 0
+        ns, feat = len(data), audio_band_feature(data)
     return w, h, ns, round(float(np.asarray(feat, dtype=np.float64).mean()), 6)
 
 

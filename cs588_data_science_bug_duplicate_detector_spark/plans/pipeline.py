@@ -296,6 +296,13 @@ def run_pipeline(
         )
 
     labels = stage("component_labels", edges_fp, build_labels)
+    # the reliable CC round files are superseded the moment the labels
+    # checkpoint is durably written (the stage's read is a fresh parquet
+    # scan, not CC lineage): drop them, or every run strands O(log n)
+    # rounds x |edges| of dead files in the durable workdir
+    import shutil
+
+    shutil.rmtree(os.path.join(workdir, "_cc_checkpoints"), ignore_errors=True)
 
     # --- W6 keep-best gate over the labels checkpoint -----------------------
     if quality_fn is not None:
@@ -317,7 +324,20 @@ def run_pipeline(
         if prev_q is not None and prev_q >= q:
             labels = io.read(spark, best)
             if prev_data_fp is None:
-                io.write_meta(best, {**best_meta, "data_fingerprint": data_fp})
+                # backfill is an ASSUMPTION, not provenance: if the legacy
+                # best was in fact computed on a different corpus (upgrade
+                # and re-crawl landing together), this stamps the wrong
+                # fingerprint. Mark it so an operator can audit/clear —
+                # the alternative (dropping the best on every upgrade) is
+                # the round-4 data-loss advice this closes.
+                io.write_meta(
+                    best,
+                    {
+                        **best_meta,
+                        "data_fingerprint": data_fp,
+                        "data_fingerprint_backfilled": True,
+                    },
+                )
             stats["keep_best"] = {"kept": "previous", "prev_quality": prev_q, "new_quality": q}
         else:
             io.write(labels, best)

@@ -43,7 +43,13 @@ from ..operators.minhash import band_table, minhash_udf
 EDGE_SCHEMA = StructType(
     [StructField("src", LongType()), StructField("dst", LongType())]
 )
-_STATE_SCHEMA = StructType([StructField("root", LongType())])
+# (root, last_ts_ms): last_ts_ms is the max event ts the bucket has EVER
+# seen (0 outside event mode) — the event timer must be monotone in it, or
+# a late out-of-order arrival would move an existing bucket's expiry
+# BACKWARD and drop state before "last-seen event ts + TTL"
+_STATE_SCHEMA = StructType(
+    [StructField("root", LongType()), StructField("last_ts_ms", LongType())]
+)
 
 
 def _make_bucket_update(state_ttl_ms: int | None, ttl_mode: str):
@@ -72,18 +78,22 @@ def _make_bucket_update(state_ttl_ms: int | None, ttl_mode: str):
                 if len(valid):
                     m_ms = int(pd.Timestamp(valid.max()).value // 1_000_000)
                     ts_max_ms = m_ms if ts_max_ms is None else max(ts_max_ms, m_ms)
-        (old_root,) = state.get if state.exists else (None,)
+        (old_root, old_ts) = state.get if state.exists else (None, None)
         root = min(ids) if old_root is None else min(old_root, min(ids))
         dsts = sorted(ids - {root})
         if old_root is not None and old_root != root:
             dsts.append(old_root)  # keep the previously-admitted subtree connected
-        state.update((root,))
+        # monotone last-seen event ts: a LATE arrival (batch max < stored
+        # max) must never pull the expiry earlier than already promised
+        if old_ts:
+            ts_max_ms = old_ts if ts_max_ms is None else max(ts_max_ms, old_ts)
+        state.update((root, ts_max_ms or 0))
         if ttl_mode == "event":
             # crawl-time horizon: expire when the WATERMARK passes the last
             # event this bucket saw + ttl. Clamp above the current watermark
             # (Spark rejects timers at/behind it — possible when replaying
-            # events much older than the stream's high-water mark). A batch
-            # whose rows ALL carry null ts anchors the timer at the
+            # events much older than the stream's high-water mark). A bucket
+            # that has ONLY ever seen null ts anchors the timer at the
             # watermark instead (expires ttl after the stream's own clock).
             wm = state.getCurrentWatermarkMs()
             anchor = ts_max_ms if ts_max_ms is not None else wm

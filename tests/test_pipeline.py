@@ -275,8 +275,10 @@ def test_pipeline_cc_uses_reliable_checkpoints_and_survives_kill(
     """Round-4 verdict #5: with a durable workdir the CC loop must use
     RELIABLE (disk) checkpoints under it, so executor loss mid-CC recovers
     from files instead of restarting the loop. Evidence: (a) a run killed
-    MID-CC leaves round checkpoints on disk under workdir/_cc_checkpoints;
-    (b) the re-run resumes the completed stages and produces labels
+    MID-CC leaves round checkpoints on disk under the configured dir;
+    (b) a COMPLETED pipeline cleans the superseded round files up (they
+    are dead weight once the labels checkpoint is durably written);
+    (c) the re-run resumes the completed stages and produces labels
     identical to an uninterrupted run."""
     import os
 
@@ -292,9 +294,13 @@ def test_pipeline_cc_uses_reliable_checkpoints_and_survives_kill(
     ref = run_pipeline(spark, pages_df, wd_ref, DedupConfig())
     ref_labels = _label_map(ref.labels)
     ckpt_root = os.path.join(wd_ref, "_cc_checkpoints")
-    assert os.path.isdir(ckpt_root) and os.listdir(ckpt_root), (
-        "pipeline CC must write reliable round checkpoints under the workdir"
+    assert not (os.path.isdir(ckpt_root) and os.listdir(ckpt_root)), (
+        "completed pipeline must clean up superseded CC round checkpoints"
     )
+    # and the session-global checkpoint dir was restored, not left pointing
+    # into this pipeline's workdir
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isEmpty() or "_cc_checkpoints" not in opt.get()
 
     # kill MID-CC: a direct reliable CC run interrupted after round 0 still
     # leaves that round's files on disk (what a recovering executor reads)
