@@ -75,9 +75,10 @@ def main() -> None:
     qs["minhash_clusters_fast"](spark, warm_dir).count()
     # the warmup populated __spark_entry__._LABEL_CACHE for (spark, warm_dir,
     # 'fast'); when no sibling sf0.001 exists warm_dir == sf_dir and the first
-    # TIMED flagship query would measure a cache hit, not the kernel. Drop the
-    # cache so every timed query pays its own full cost.
-    entrymod._LABEL_CACHE.clear()
+    # TIMED flagship query would measure a cache hit, not the kernel. Evict
+    # (and unpersist — a bare clear() strands the localCheckpoint blocks on
+    # the executors) so every timed query pays its own full cost.
+    entrymod.clear_label_cache()
 
     for name in BENCH_QUERIES:
         t0 = time.time()

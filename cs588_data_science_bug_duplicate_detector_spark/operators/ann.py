@@ -43,8 +43,14 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    """Cosine similarity between two array<double> columns (JVM expression)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<double> columns (JVM expression).
+
+    The denominator is floored at 1e-12 — the SAME guard as the numpy
+    kernels (_nearest_centroids_udf etc.): without it one zero embedding
+    in the corpus kills the whole job with DIVIDE_BY_ZERO under ANSI mode.
+    A zero vector's dot is 0, so its cosine is exactly 0.0 either way —
+    for real (nonzero) vectors greatest() is the identity, bit-for-bit."""
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:

@@ -119,6 +119,7 @@ def connected_components(
     # and silently recompute the whole upstream detect pipeline per round
     # (measured: 43s vs 2.6s for round 0 at 400k docs).
     e, prev = _ckpt_with_summary(init)
+    converged = False
     for it in range(max_iter):
         e_next, cur = _ckpt_with_summary(_small_star(_large_star(e)))
         if on_iteration is not None:
@@ -126,6 +127,7 @@ def connected_components(
         e.unpersist()
         e = e_next
         if cur == prev:
+            converged = True
             break
         prev = cur
 
@@ -139,6 +141,18 @@ def connected_components(
 
         sc.setCheckpointDir(
             prev_ckpt_dir or os.path.join(tempfile.gettempdir(), "dupdetect-ckpt")
+        )
+    if not converged:
+        # Labels derived from a still-evolving edge set would split true
+        # components ACROSS cluster ids with no downstream signal — fail
+        # loudly instead. The alternating algorithm converges in O(log^2 n)
+        # rounds, so 50 covers any physical corpus; hitting this means a
+        # checksum-collision oscillation or a genuinely pathological graph.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels from an unconverged edge set would silently split "
+            "components. Raise max_iter (the alternating algorithm needs "
+            "O(log^2 n) rounds) or inspect the edge graph."
         )
     labels = (
         e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))

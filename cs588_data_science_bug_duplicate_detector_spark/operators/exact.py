@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import _nonblank
+
 
 def text_hash_col(text_col: str):
     return F.md5(F.col(text_col).cast("binary"))
@@ -20,8 +22,13 @@ def _has_content(text_col: str):
     """Content-less docs (NULL or whitespace-only text) are never dup
     candidates: md5(NULL) is NULL and NULL keys GROUP TOGETHER in Spark,
     so without this filter every failed extraction in the corpus would
-    merge into one cluster. "No content" is not "same content"."""
-    return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    merge into one cluster. "No content" is not "same content".
+
+    Uses ``_nonblank`` (regex strip of ALL whitespace), not ``F.trim``:
+    trim() removes only ASCII spaces, so '\\n'-only docs — the common
+    output of a failed HTML extraction — would pass a trim-based check
+    and weld every failed extraction into one md5('\\n') mega-cluster."""
+    return _nonblank(F.col(text_col))
 
 
 def exact_dup_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -55,7 +55,10 @@ def _sample_centroids(base: DataFrame, n_centroids: int, sample_hash: str) -> np
         .collect()
     )
     cents = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
-    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # same zero-norm guard as _nearest_centroids_udf/_lloyd_refine: a zero
+    # vector sampled as a centroid would otherwise become NaN and poison
+    # every cosine it touches
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
 
 def _nearest_centroids_udf(bc_cents, n_probe: int):

@@ -210,6 +210,32 @@ def hot_bucket_stats(hot: DataFrame) -> dict:
     return {k: int(v) for k, v in row.asDict().items()}
 
 
+# Safety net for the ``_cached_deps`` contract: the attribute is a dynamic
+# field, so ANY derivation (``edges.select(...)``, ``.filter(...)``) returns
+# a new DataFrame without it — a caller who keeps only the derived frame can
+# never release the persisted band/pair tables, and cacheManager holds them
+# by strong reference for the session's lifetime. Every attach therefore
+# also registers (weakref-to-owner, deps) here; ``sweep_orphaned_deps``
+# unpersists deps whose owner was garbage-collected unreleased.
+import weakref as _weakref
+
+_DEPS_REGISTRY: dict[int, tuple] = {}
+
+
+def _attach_deps(df: DataFrame, deps: list) -> DataFrame:
+    stale = _DEPS_REGISTRY.get(id(df))
+    if stale is not None and stale[0]() is None:
+        # id() reuse after GC: release the dead owner's deps before overwriting
+        for dep in stale[1]:
+            try:
+                dep.unpersist()
+            except Exception:
+                pass
+    df._cached_deps = deps
+    _DEPS_REGISTRY[id(df)] = (_weakref.ref(df), list(deps))
+    return df
+
+
 def release_cached_deps(df: DataFrame) -> None:
     """Unpersist the intermediate DataFrames a builder attached to ``df``.
 
@@ -217,11 +243,32 @@ def release_cached_deps(df: DataFrame) -> None:
     long-lived sessions (bench loops, multi-split pipelines) otherwise
     accumulate cached band/pair blocks until LRU pressure.
     """
-    for dep in getattr(df, "_cached_deps", []):
+    entry = _DEPS_REGISTRY.pop(id(df), None)
+    deps = entry[1] if entry is not None else getattr(df, "_cached_deps", [])
+    for dep in deps:
         try:
             dep.unpersist()
         except Exception:
             pass
+
+
+def sweep_orphaned_deps() -> int:
+    """Unpersist deps whose owner DataFrame was GC'd without
+    ``release_cached_deps`` (the attribute contract is easy to drop — see
+    ``_DEPS_REGISTRY``). Returns the number of owners swept. Cheap; safe to
+    call at any pipeline/bench quiescent point."""
+    swept = 0
+    for k in list(_DEPS_REGISTRY):
+        ref, deps = _DEPS_REGISTRY[k]
+        if ref() is None:
+            for dep in deps:
+                try:
+                    dep.unpersist()
+                except Exception:
+                    pass
+            del _DEPS_REGISTRY[k]
+            swept += 1
+    return swept
 
 
 def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
@@ -290,8 +337,7 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     verified = verify_pairs(
         ambiguous.unionByName(star), sigs, id_col, cfg
     ).select("src", "dst")
-    edges = auto.unionByName(verified).distinct()
-    edges._cached_deps = [bw, pairs]
+    edges = _attach_deps(auto.unionByName(verified).distinct(), [bw, pairs])
     return edges, hot
 
 

@@ -422,8 +422,16 @@ def demo_payloads(n: int = 7) -> list[tuple[int, str, str, bytes, int]]:
 
 
 def media_dedup_edges(media: DataFrame) -> DataFrame:
-    """Exact-payload dedup for media columns: md5 over binary, star edges."""
-    h = media.select(F.col("media_id").alias("id"), F.md5("payload").alias("h"))
+    """Exact-payload dedup for media columns: md5 over binary, star edges.
+
+    NULL and zero-byte payloads are excluded for the same reason
+    ``operators/exact._has_content`` excludes blank text: every failed
+    media fetch stores the same empty payload, and md5(b'') would weld
+    all of them into one giant fake duplicate cluster. "No content" is
+    not "same content"."""
+    h = media.where(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    ).select(F.col("media_id").alias("id"), F.md5("payload").alias("h"))
     roots = h.groupBy("h").agg(F.min("id").alias("root"), F.count("*").alias("n"))
     return (
         h.join(roots.where(F.col("n") > 1), "h")

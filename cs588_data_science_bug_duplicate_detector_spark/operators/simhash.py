@@ -108,8 +108,10 @@ def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
         .where(F.expr("bit_count(sig ^ r.sig)") <= F.lit(cfg.simhash_hamming_max))
         .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
     )
-    edges = joined.unionByName(star).distinct()
-    edges._cached_deps = [cw]  # release via minhash.release_cached_deps after materializing
+    from .minhash import _attach_deps
+
+    # release via minhash.release_cached_deps after materializing
+    edges = _attach_deps(joined.unionByName(star).distinct(), [cw])
     return edges
 
 

@@ -68,7 +68,11 @@ def window_table(docs: DataFrame, id_col: str, text_col: str, cfg: DedupConfig,
     df = (
         docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .withColumn("n", F.size("toks"))
-        .where(F.col("n") >= cfg.suffix_min_tokens)
+        # A doc shorter than one full window has no complete window: clamp
+        # the admission floor to suffix_window even if suffix_min_tokens is
+        # configured lower, else last_start goes negative and
+        # sequence(0, negative) steps DOWNWARD into invalid slice starts.
+        .where(F.col("n") >= max(cfg.suffix_min_tokens, cfg.suffix_window))
     )
     last_start = F.col("n") - F.lit(cfg.suffix_window)  # inclusive 0-based
     gram = lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, cfg.anchor_k))

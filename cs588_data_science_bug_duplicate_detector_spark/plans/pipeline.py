@@ -32,6 +32,7 @@ from ..functions.extract import with_extracted_text
 from ..operators.cc import connected_components
 from ..operators.exact import exact_dup_edges
 from ..operators.minhash import (
+    _attach_deps,
     hot_bucket_stats,
     minhash_edges_from_sigs,
     release_cached_deps,
@@ -112,6 +113,13 @@ def run_pipeline(
     ``PipelineRun.labels`` then points at the best checkpoint either way."""
     cfg = cfg or DedupConfig()
     io = io or TableIO(workdir)
+    # fail fast on an empty or misspelled detector set — otherwise a typo
+    # like 'minhsah' sails through fingerprinting and dies as a bare
+    # IndexError deep inside the candidate-edges stage
+    unknown = set(detectors) - set(ALL_DETECTORS)
+    if unknown or not detectors:
+        what = f"unknown detectors {sorted(unknown)!r}" if unknown else "empty detector set"
+        raise ValueError(f"{what}; choose a non-empty subset of {ALL_DETECTORS}")
     det_salt = ",".join(sorted(detectors))
     stats: dict = {
         "stages": {},
@@ -262,8 +270,7 @@ def run_pipeline(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out._cached_deps = deps
-        return out
+        return _attach_deps(out, deps)
 
     def edges_meta():
         if suffix_obs is not None:

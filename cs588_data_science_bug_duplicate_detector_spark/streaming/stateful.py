@@ -81,8 +81,12 @@ def _make_bucket_update(state_ttl_ms: int | None, ttl_mode: str):
         (old_root, old_ts) = state.get if state.exists else (None, None)
         root = min(ids) if old_root is None else min(old_root, min(ids))
         dsts = sorted(ids - {root})
-        if old_root is not None and old_root != root:
-            dsts.append(old_root)  # keep the previously-admitted subtree connected
+        # keep the previously-admitted subtree connected when a smaller id
+        # takes over the root — but only if the old root didn't ALSO
+        # re-arrive in this batch (then it's already in dsts; appending
+        # again would emit a duplicate (root, old_root) row into the log)
+        if old_root is not None and old_root != root and old_root not in ids:
+            dsts.append(old_root)
         # monotone last-seen event ts: a LATE arrival (batch max < stored
         # max) must never pull the expiry earlier than already promised
         if old_ts:
@@ -168,20 +172,37 @@ def streaming_candidate_edges(
 
 
 def verified_edges_sink(
-    sigs: DataFrame,
+    sigs,
     id_col: str,
     cfg: DedupConfig,
     out_dir: str,
 ):
     """foreachBatch companion to ``streaming_candidate_edges``: each
-    micro-batch of candidate star edges is verified against the (static or
-    periodically refreshed) signatures table with the SAME estimated-
-    Jaccard check as batch (operators.minhash.verify_pairs), and the
-    surviving edges append to a parquet/Iceberg edge log::
+    micro-batch of candidate star edges is verified against the signatures
+    table with the SAME estimated-Jaccard check as batch
+    (operators.minhash.verify_pairs), and the surviving edges append to a
+    parquet/Iceberg edge log::
 
         streaming_candidate_edges(stream, cfg).writeStream
-            .foreachBatch(verified_edges_sink(sigs, "doc_id", cfg, out))
+            .foreachBatch(verified_edges_sink(sig_dir, "doc_id", cfg, out))
             .option("checkpointLocation", ckpt).start()
+
+    ``sigs`` may be:
+
+    - a **str path** (recommended for live ingest): re-read per micro-batch,
+      so signatures appended by a companion signature-log sink are visible
+      to later batches. A DataFrame snapshot canNOT do this — its file
+      index is frozen at creation, so fresh docs would never verify;
+    - a **callable** ``() -> DataFrame`` for custom refresh logic;
+    - a **DataFrame** for a genuinely static corpus (bounded replays,
+      tests).
+
+    Edges whose endpoint signature is MISSING from the table are kept
+    unverified (``est_jaccard`` NULL), not dropped: a bucket-collision
+    candidate cannot be falsified without its signature, and silently
+    dropping it would break the bucket-connectivity invariant this module
+    promises. Callers wanting verified-only edges filter
+    ``est_jaccard IS NOT NULL``.
 
     Verification is batch-local and stateless. foreachBatch itself only
     guarantees at-least-once invocation (a micro-batch replayed after a
@@ -219,13 +240,35 @@ def verified_edges_sink(
                 ".write.partitionBy('batch_id').parquet(new) — or clear the dir."
             )
 
+    def _resolve_sigs(batch_df: DataFrame) -> DataFrame:
+        if isinstance(sigs, str):
+            # fresh read per batch -> fresh file listing, so a companion
+            # signature-log sink's appends are visible to this batch
+            return batch_df.sparkSession.read.parquet(sigs)
+        if callable(sigs):
+            return sigs()
+        return sigs
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if not layout_checked:
             _check_layout()
             layout_checked.append(True)
-        verified = verify_pairs(batch_df, sigs, id_col, cfg).select("src", "dst")
+        sig_df = _resolve_sigs(batch_df)
+        known = sig_df.select(F.col(id_col).alias("_kid"))
+        # edges with BOTH endpoint sigs present -> exact-Jaccard verify;
+        # the rest pass through unverified (est_jaccard NULL) — see docstring
+        checkable = (
+            batch_df.join(known, batch_df.src == F.col("_kid"), "semi")
+            .join(known, batch_df.dst == F.col("_kid"), "semi")
+        )
+        unverifiable = (
+            batch_df.exceptAll(checkable)
+            .select("src", "dst", F.lit(None).cast("double").alias("est_jaccard"))
+        )
+        verified = verify_pairs(checkable, sig_df, id_col, cfg)
         (
-            verified.withColumn("batch_id", F.lit(batch_id))
+            verified.unionByName(unverifiable)
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -308,3 +308,27 @@ def test_ivf_default_n_centroids_is_corpus_derived(spark, vectors):
     assert _derived_n_centroids(10**6) == 1000
     assert _derived_n_centroids(10**12) == 65_536
     assert _derived_n_centroids(1) == 4
+
+
+def test_ivf_zero_vector_centroid_sample_no_nan(spark):
+    """A zero embedding sampled as a centroid must not become NaN (it would
+    poison every cosine against it and, with lloyd_iters>0, propagate into
+    the refined centroids)."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import _sample_centroids
+
+    rows = [(i, [0.0, 0.0, 0.0] if i == 0 else [float(i), 1.0, 0.0]) for i in range(6)]
+    base = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = _sample_centroids(base, 6, "md5")  # every row sampled, incl. the zero vec
+    assert not np.isnan(cents).any()
+
+
+def test_ivf_zero_vector_end_to_end(spark):
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import ivf_topk
+
+    rows = [(i, [0.0] * 4 if i == 0 else [float(i % 3 + 1), float(i % 5), 1.0, 0.5])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ivf_topk(df, "vec_id", "embedding", k=3, n_centroids=5, n_probe=5, lloyd_iters=1)
+    rows_out = res.collect()
+    assert rows_out, "expected non-empty top-k"
+    assert all(r["score"] == r["score"] for r in rows_out)  # no NaN scores

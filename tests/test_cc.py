@@ -48,6 +48,20 @@ def test_cc_min_member_convention(spark):
     assert got == {3: 3, 7: 3, 9: 3}
 
 
+def test_cc_unconverged_raises_instead_of_silent_partial_labels(spark):
+    """Exhausting max_iter before the edge set stabilizes must fail loudly:
+    labels from a still-evolving edge set silently split true components
+    across cluster ids and downstream canonical selection keeps multiple
+    'representatives' per cluster with no signal anything went wrong."""
+    chain = [(i, i + 1) for i in range(1, 9)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=1)
+    # the same graph converges fine with the default budget
+    got = _labels_from_spark(spark, chain, list(range(1, 10)))
+    assert set(got.values()) == {1}
+
+
 def test_cc_empty_edges(spark):
     e = spark.createDataFrame([], "src long, dst long")
     v = spark.createDataFrame([(1,), (2,)], "id long")

@@ -54,6 +54,22 @@ def test_null_and_blank_text_get_singleton_labels(spark):
     assert lab[1] != lab[4]
 
 
+def test_whitespace_only_docs_never_weld(spark):
+    """'\\n'-only extractions are the common output of a failed HTML parse;
+    trim() strips only ASCII spaces, so a trim-based content check would
+    weld every such doc into one md5('\\n') mega-cluster. The content gate
+    must use full-whitespace semantics."""
+    docs = spark.createDataFrame(
+        [(1, "\n"), (2, "\n"), (3, "\t\n"), (4, "\t\n"), (5, " \r\n "), (6, " \r\n ")],
+        DOC_SCHEMA,
+    )
+    assert exact_dup_edges(docs, "doc_id", "text").count() == 0
+    labels = connected_components(
+        exact_dup_edges(docs, "doc_id", "text"), vertices=docs.select("doc_id")
+    )
+    assert labels.select("cluster_id").distinct().count() == 6
+
+
 def test_single_doc_corpus(spark):
     docs = spark.createDataFrame([(7, "only one document here at all")], DOC_SCHEMA)
     edges = _detect_all(docs, DedupConfig())

@@ -67,6 +67,23 @@ def test_media_dedup_edges(spark, media):
     assert edges == {(1, 2)}
 
 
+def test_media_dedup_ignores_empty_and_null_payloads(spark):
+    """Every failed media fetch stores the same empty payload; md5(b'')
+    must not weld them into one fake duplicate cluster (same invariant as
+    exact-text dedup: no content is not same content)."""
+    rows = [
+        (1, "image", b"", "image/png", None, None, None),
+        (2, "image", b"", "image/png", None, None, None),
+        (3, "video", None, "video/mp4", None, None, None),
+        (4, "video", None, "video/mp4", None, None, None),
+        (5, "image", b"real", "image/png", None, None, None),
+        (6, "image", b"real", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    edges = {(r["src"], r["dst"]) for r in media_dedup_edges(media).collect()}
+    assert edges == {(5, 6)}
+
+
 # --- real codecs (stdlib+numpy: 24-bit BMP, PCM WAV) -----------------------
 
 def test_bmp_round_trip():

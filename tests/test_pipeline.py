@@ -21,6 +21,18 @@ def pages(spark):
     return pages.cache(), truth, spans
 
 
+def test_unknown_or_empty_detector_set_fails_fast(spark, pages, tmp_path_factory):
+    """A typo like 'minhsah' must raise a clear ValueError at entry, not an
+    IndexError deep inside the candidate-edges stage (the fingerprint would
+    happily incorporate the typo and nothing upstream flags it)."""
+    pages_df, _, _ = pages
+    wd = str(tmp_path_factory.mktemp("wd_baddet"))
+    with pytest.raises(ValueError, match="minhsah"):
+        run_pipeline(spark, pages_df, wd, DedupConfig(), detectors=("minhsah",))
+    with pytest.raises(ValueError, match="empty detector set"):
+        run_pipeline(spark, pages_df, wd, DedupConfig(), detectors=())
+
+
 def test_pipeline_end_to_end_and_resume(spark, pages, tmp_path_factory):
     wd = str(tmp_path_factory.mktemp("pipe"))
     pages_df, truth, _ = pages

@@ -292,3 +292,93 @@ def test_event_time_ttl_expires_by_crawl_time(spark, tmp_path):
     assert (12, 13) in edges
     # the crawl-time gap severed the epochs
     assert not any((s, d) in edges for s in (5, 10, 11) for d in (12, 13))
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the bucket update fn."""
+
+    def __init__(self, stored=None):
+        self._stored = stored
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._stored is not None
+
+    @property
+    def get(self):
+        return self._stored
+
+    def update(self, v):
+        self._stored = tuple(v)
+
+    def remove(self):
+        self._stored = None
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_bucket_update_no_duplicate_edge_when_old_root_rearrives():
+    """Batch {5, 10} hitting a bucket whose stored root is 10: the root
+    hand-off must emit (5, 10) exactly ONCE — 10 is already in this batch's
+    ids, so the old-root re-parent append would duplicate the row and the
+    edge log stops being a set."""
+    import pandas as pd
+
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        _make_bucket_update,
+    )
+
+    update = _make_bucket_update(None, "none")
+    state = _FakeState(stored=(10, 0))
+    out = pd.concat(list(update(("k",), [pd.DataFrame({"id": [5, 10]})], state)))
+    edges = list(zip(out["src"], out["dst"]))
+    assert edges == [(5, 10)]
+    assert state.get == (5, 0)
+
+    # distinct old root NOT in the batch must still be re-parented
+    state2 = _FakeState(stored=(20, 0))
+    out2 = pd.concat(list(update(("k",), [pd.DataFrame({"id": [5, 30]})], state2)))
+    assert sorted(zip(out2["src"], out2["dst"])) == [(5, 20), (5, 30)]
+
+
+def test_verified_edges_sink_path_sigs_and_unverifiable_passthrough(spark, tmp_path):
+    """sigs given as a PATH is re-read per batch (fresh file listing), so
+    signatures appended between batches become visible; edges with missing
+    endpoint signatures pass through with est_jaccard NULL instead of
+    silently vanishing from the log."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        verified_edges_sink,
+    )
+
+    cfg = DedupConfig()
+    sig_dir = str(tmp_path / "sigs")
+    out = str(tmp_path / "out")
+    shared = _text("a")
+    docs1 = spark.createDataFrame([(10, shared), (11, shared)], DOC_SCHEMA)
+    sigs1 = with_minhash(docs1.select("doc_id", "text"), "text", cfg).select("doc_id", "minhash")
+    sigs1.write.mode("append").parquet(sig_dir)
+
+    sink = verified_edges_sink(sig_dir, "doc_id", cfg, out)
+    # batch 0: (10, 11) verifiable; (10, 99) has no sig for 99 -> passthrough
+    cand = spark.createDataFrame([(10, 11), (10, 99)], "src long, dst long")
+    sink(cand, 0)
+    log = spark.read.parquet(out)
+    got = {(r["src"], r["dst"]): r["est_jaccard"] for r in log.collect()}
+    assert (10, 11) in got and got[(10, 11)] is not None
+    assert (10, 99) in got and got[(10, 99)] is None
+
+    # doc 99's signature arrives later (appended by a companion sig sink);
+    # the NEXT batch must see it because the path is re-listed per batch
+    docs2 = spark.createDataFrame([(99, shared)], DOC_SCHEMA)
+    with_minhash(docs2.select("doc_id", "text"), "text", cfg).select(
+        "doc_id", "minhash"
+    ).write.mode("append").parquet(sig_dir)
+    sink(spark.createDataFrame([(10, 99)], "src long, dst long"), 1)
+    batch1 = {
+        (r["src"], r["dst"]): r["est_jaccard"]
+        for r in spark.read.parquet(out).where(F.col("batch_id") == 1).collect()
+    }
+    assert batch1[(10, 99)] is not None  # now verifiable, est ~1.0

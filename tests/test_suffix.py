@@ -34,6 +34,24 @@ def test_span_pairs_detected_any_offset(spark):
     assert 4 not in members and 5 not in members
 
 
+def test_min_tokens_below_window_does_not_crash(spark):
+    """suffix_min_tokens < suffix_window admits docs with no complete
+    window; last_start would go negative and sequence(0, negative) steps
+    DOWNWARD into invalid slice starts. Such docs must simply contribute
+    zero windows (the DuckDB oracle's range(0, n-W+1) is empty for them)."""
+    cfg = DedupConfig(suffix_min_tokens=30)  # window stays 50
+    short = " ".join(f"w{i}" for i in range(35))   # 30 <= n < 50
+    body = " ".join(f"s{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short), (3, body), (4, body)], "doc_id long, text string"
+    )
+    edges = suffix_edges(docs, "doc_id", "text", cfg)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # short docs share text but have no >=50-token span — no edge, no crash;
+    # the full-length pair still connects
+    assert got == {(3, 4)}
+
+
 def test_suffix_on_planted_pages(spark):
     cfg = DedupConfig()
     pages, truth, spans = generate_pages(spark, 300, seed=42)
