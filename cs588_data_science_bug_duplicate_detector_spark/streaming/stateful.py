@@ -171,6 +171,45 @@ def streaming_candidate_edges(
     )
 
 
+def signature_log_sink(
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig,
+    sig_dir: str,
+):
+    """foreachBatch sink that appends each micro-batch's MinHash signatures
+    to a parquet signature log — the companion producer for a path-based
+    ``verified_edges_sink``::
+
+        # one stream writes the sig log...
+        pages.writeStream.foreachBatch(
+            signature_log_sink("doc_id", "text", cfg, sig_dir)).start()
+        # ...the edge stream verifies against it, re-listed per batch
+        streaming_candidate_edges(pages, cfg).writeStream.foreachBatch(
+            verified_edges_sink(sig_dir, "doc_id", cfg, out_dir)).start()
+
+    Same idempotency scheme as the edge log: partitioned by ``batch_id``
+    with dynamic partition overwrite, so an at-least-once replay of batch N
+    rewrites exactly the batch=N partition. Signatures use the SAME
+    vectorized kernel as batch and in-stream banding, so a doc's logged
+    signature is bit-identical to what the candidate stream banded."""
+    from ..operators.minhash import with_minhash
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = with_minhash(
+            batch_df.select(id_col, text_col), text_col, cfg
+        ).select(id_col, "minhash")
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sig_dir)
+        )
+
+    return _write
+
+
 def verified_edges_sink(
     sigs,
     id_col: str,

@@ -382,3 +382,51 @@ def test_verified_edges_sink_path_sigs_and_unverifiable_passthrough(spark, tmp_p
         for r in spark.read.parquet(out).where(F.col("batch_id") == 1).collect()
     }
     assert batch1[(10, 99)] is not None  # now verifiable, est ~1.0
+
+
+def test_signature_log_sink_batch_parity_idempotency_and_composition(spark, tmp_path):
+    """The companion signature-log sink: (1) logged signatures are
+    bit-identical to batch ``with_minhash`` over the same docs, (2) the log
+    is batch_id=N partitioned and an at-least-once REPLAY of a batch
+    rewrites exactly its own partition (no duplicate rows), (3) composed
+    with a path-based ``verified_edges_sink``, a cross-batch edge verifies
+    against signatures another batch logged."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        signature_log_sink,
+        verified_edges_sink,
+    )
+
+    cfg = DedupConfig()
+    sig_dir = str(tmp_path / "sigs")
+    sink = signature_log_sink("doc_id", "text", cfg, sig_dir)
+    shared = _text("a")
+    b0 = spark.createDataFrame([(10, shared), (20, _text("z"))], DOC_SCHEMA)
+    b1 = spark.createDataFrame([(11, shared)], DOC_SCHEMA)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    log = spark.read.parquet(sig_dir)
+    assert {r["batch_id"] for r in log.select("batch_id").distinct().collect()} == {0, 1}
+    logged = {r["doc_id"]: list(r["minhash"]) for r in log.collect()}
+    batch_sigs = {
+        r["doc_id"]: list(r["minhash"])
+        for r in with_minhash(
+            b0.unionByName(b1).select("doc_id", "text"), "text", cfg
+        ).collect()
+    }
+    assert logged == batch_sigs  # bit-identical to the batch kernel
+
+    # at-least-once replay of batch 0: same 3 rows after, not 5
+    sink(b0, 0)
+    assert spark.read.parquet(sig_dir).count() == 3
+
+    # composition: edge (10, 11) spans batches 0 and 1; the path-based edge
+    # sink re-lists the log so both endpoint signatures are visible
+    edge_sink = verified_edges_sink(sig_dir, "doc_id", cfg, str(tmp_path / "edges"))
+    edge_sink(spark.createDataFrame([(10, 11)], "src long, dst long"), 0)
+    got = {
+        (r["src"], r["dst"]): r["est_jaccard"]
+        for r in spark.read.parquet(str(tmp_path / "edges")).collect()
+    }
+    assert got[(10, 11)] is not None and got[(10, 11)] > 0.9
