@@ -196,8 +196,14 @@ def signature_log_sink(
     from ..operators.minhash import with_minhash
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # one row per doc per batch: a source redelivery inside one
+        # micro-batch must not log the same signature twice (the verify
+        # join keys on id). Same-id-different-text within ONE batch is
+        # malformed input (a crawl record is immutable); across batches a
+        # recrawl is fine — the edge sink keeps the latest batch's row.
         sigs = with_minhash(
-            batch_df.select(id_col, text_col), text_col, cfg
+            batch_df.select(id_col, text_col).dropDuplicates([id_col]),
+            text_col, cfg,
         ).select(id_col, "minhash")
         (
             sigs.withColumn("batch_id", F.lit(batch_id))
@@ -235,6 +241,12 @@ def verified_edges_sink(
     - a **callable** ``() -> DataFrame`` for custom refresh logic;
     - a **DataFrame** for a genuinely static corpus (bounded replays,
       tests).
+
+    A doc logged by MULTIPLE batches (a recrawl, or at-least-once
+    redelivery landing in a different batch) verifies against its LATEST
+    signature only — duplicate ids in the table would otherwise fan the
+    verify join out into duplicate (and, after a content change,
+    contradictory) edge rows. See ``_latest_endpoint_sigs``.
 
     Edges whose endpoint signature is MISSING from the table are kept
     unverified (``est_jaccard`` NULL), not dropped: a bucket-collision
@@ -288,11 +300,40 @@ def verified_edges_sink(
             return sigs()
         return sigs
 
+    def _latest_endpoint_sigs(batch_df: DataFrame, sig_df: DataFrame) -> DataFrame:
+        """Restrict the signature table to this batch's edge endpoints
+        (broadcast semi-join — the batch is small, the log is not), then
+        keep ONE row per doc. A recrawled page is logged once per batch it
+        arrived in; verifying against both rows would fan the join out into
+        duplicate — and, if the content changed, contradictory — edge rows.
+        When the table carries the sig-log's ``batch_id``, the LATEST crawl
+        wins (ties broken by signature bytes for determinism); a
+        caller-supplied DataFrame without ``batch_id`` is expected to be
+        one-row-per-id already (dropDuplicates as a safety net)."""
+        from pyspark.sql import Window
+
+        endpoints = (
+            batch_df.select(F.col("src").alias(id_col))
+            .unionByName(batch_df.select(F.col("dst").alias(id_col)))
+            .distinct()
+        )
+        rel = sig_df.join(F.broadcast(endpoints), id_col, "semi")
+        if "batch_id" in rel.columns:
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("batch_id").desc(), F.col("minhash").desc()
+            )
+            return (
+                rel.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "batch_id")
+            )
+        return rel.dropDuplicates([id_col])
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if not layout_checked:
             _check_layout()
             layout_checked.append(True)
-        sig_df = _resolve_sigs(batch_df)
+        sig_df = _latest_endpoint_sigs(batch_df, _resolve_sigs(batch_df))
         known = sig_df.select(F.col(id_col).alias("_kid"))
         # edges with BOTH endpoint sigs present -> exact-Jaccard verify;
         # the rest pass through unverified (est_jaccard NULL) — see docstring

@@ -430,3 +430,50 @@ def test_signature_log_sink_batch_parity_idempotency_and_composition(spark, tmp_
         for r in spark.read.parquet(str(tmp_path / "edges")).collect()
     }
     assert got[(10, 11)] is not None and got[(10, 11)] > 0.9
+
+
+def test_verified_edges_sink_recrawl_uses_latest_signature_once(spark, tmp_path):
+    """A doc recrawled with CHANGED content is logged once per batch; the
+    edge sink must verify against the LATEST signature only — one edge row
+    per pair, with est_jaccard reflecting the new content (here: the
+    recrawl diverged from its old near-dup partner, so the pair drops to
+    unrelated-level similarity instead of ~1.0, and no duplicate/
+    contradictory rows survive from the stale signature)."""
+    from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+        signature_log_sink,
+        verified_edges_sink,
+    )
+
+    cfg = DedupConfig()
+    sig_dir = str(tmp_path / "sigs")
+    out = str(tmp_path / "edges")
+    sig_sink = signature_log_sink("doc_id", "text", cfg, sig_dir)
+    shared = _text("a")
+    # batch 0: 10 and 11 identical; batch 1: doc 11 recrawled, now unrelated
+    sig_sink(spark.createDataFrame([(10, shared), (11, shared)], DOC_SCHEMA), 0)
+    sig_sink(spark.createDataFrame([(11, _text("zz"))], DOC_SCHEMA), 1)
+
+    edge_sink = verified_edges_sink(sig_dir, "doc_id", cfg, out)
+    edge_sink(spark.createDataFrame([(10, 11)], "src long, dst long"), 0)
+    try:
+        rows = spark.read.parquet(out).collect()
+    except Exception:
+        rows = []  # refuted pair -> nothing written -> log unreadable/absent
+    # latest signature wins: the recrawled 11 is unrelated to 10, so the
+    # pair fails verification and is dropped (0 rows) or, at worst, kept
+    # below threshold — the pre-fix failure mode was the join fanning out
+    # over BOTH logged signatures and the stale ~1.0 row surviving
+    assert len(rows) <= 1
+    assert not any(r["est_jaccard"] is not None and r["est_jaccard"] > 0.9 for r in rows)
+
+    # redelivery INSIDE one micro-batch must not log two rows either
+    sig_sink(
+        spark.createDataFrame([(30, shared), (30, shared)], DOC_SCHEMA), 2
+    )
+    import pyspark.sql.functions as SF
+    n30 = (
+        spark.read.parquet(sig_dir)
+        .where(SF.col("doc_id") == 30)
+        .count()
+    )
+    assert n30 == 1
