@@ -80,11 +80,24 @@ def main() -> None:
     # the executors) so every timed query pays its own full cost.
     entrymod.clear_label_cache()
 
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()  # materialize the full plan
-        timings[name] = round(time.time() - t0, 3)
+    # Per-query MIN over independent passes: this box is a shared-host VM
+    # where identical runs vary ±40% (BENCH/BASELINE.md), and a single pass
+    # makes round-over-round totals track host contention, not the code.
+    # The min is the run least perturbed by neighbors — the estimator
+    # scripts/bench_scaling.py already uses. The label cache is cleared
+    # between passes so every pass prices the flagship kernel itself
+    # (within a pass, dedup_corpus intentionally reuses the flagship's
+    # session-cached labels — same semantics as a real pipeline run).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for p in range(passes):
+        if p:
+            entrymod.clear_label_cache()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()  # materialize the full plan
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     # headline throughput tracks the production kernel, not the md5 oracle twin
@@ -97,6 +110,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
         "cpus": cpus,
+        "passes": passes,
     }
     spark.stop()
     print(json.dumps(out))
