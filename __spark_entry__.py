@@ -531,9 +531,14 @@ def q_streaming_batch_equiv(spark, sf_dir):
 
     Planted copies sit at ``doc_id + 40_000_001`` (different ``% 3``
     residue), so their edges can ONLY exist if bucket state genuinely
-    crossed micro-batches — check 3 pins that. The DuckDB oracle pins all
-    three booleans TRUE (detector_parity evidence class: Spark computes
-    the checks, any failure breaks the driver's value hash).
+    crossed micro-batches — check 3 pins that. Checks 4-5 (round 5) drive
+    the composed production sinks — ``signature_log_sink`` then a
+    path-based ``verified_edges_sink`` — over the same stream: with the
+    sig log complete no edge may remain unverifiable, and CC over
+    VERIFIED-only edges must still connect every planted pair. The DuckDB
+    oracle pins all five booleans TRUE (detector_parity evidence class:
+    Spark computes the checks, any failure breaks the driver's value
+    hash).
 
     Not in BENCH_QUERIES: wall time is micro-batch/state-store overhead,
     not engine throughput (the signature/banding kernels it exercises are
@@ -648,8 +653,81 @@ def q_streaming_batch_equiv(spark, sf_dir):
                 ((F.col("n") > 0) & (F.col("ok") == F.col("n"))).alias("passed"),
             )
         )
+        # composed-sink invariants (round 5): drive the SAME 3-file stream
+        # through the foreachBatch pair — signature_log_sink first (so
+        # every doc's signature is logged before any edge verifies), then
+        # verified_edges_sink reading that log per batch. Proves the
+        # production streaming path end-to-end: (a) with the sig log
+        # complete, NO edge is left unverifiable (every endpoint signature
+        # was found via the per-batch re-listing), and (b) CC over
+        # VERIFIED-only edges still connects every planted cross-batch
+        # pair (verification never drops a true-duplicate edge).
+        from cs588_data_science_bug_duplicate_detector_spark.streaming.stateful import (
+            signature_log_sink,
+            streaming_candidate_edges as _sce,
+            verified_edges_sink,
+        )
+
+        sig_dir, vout = f"{tmp}/sigs", f"{tmp}/vout"
+        sstream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q_sig = (
+            sstream.writeStream.foreachBatch(
+                signature_log_sink("doc_id", "text", CFG, sig_dir)
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt_sig")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_sig.awaitTermination(300):
+            q_sig.stop()
+            raise RuntimeError("signature-log stream did not terminate in 300s")
+        q_ver = (
+            _sce(sstream, CFG, state_ttl_ms=None)
+            .writeStream.foreachBatch(
+                verified_edges_sink(sig_dir, "doc_id", CFG, vout)
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt_ver")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_ver.awaitTermination(300):
+            q_ver.stop()
+            raise RuntimeError("verified-edge stream did not terminate in 300s")
+        vlog = spark.read.parquet(vout)
+        all_checked = vlog.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.col("est_jaccard").isNull().cast("int")), F.lit(0)
+            ).alias("nulls"),
+        ).select(
+            F.lit("verified_log_all_edges_checked").alias("check_name"),
+            ((F.col("n") > 0) & (F.col("nulls") == 0)).alias("passed"),
+        )
+        vlabels = connected_components(
+            vlog.select("src", "dst"), vertices=docs.select("doc_id")
+        )
+        va = vlabels.select(F.col("id").alias("qa"), F.col("cluster_id").alias("ca"))
+        vb = vlabels.select(F.col("id").alias("qb"), F.col("cluster_id").alias("cb2"))
+        vcrossed = (
+            pairs.join(va, "qa").join(vb, "qb")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum((F.col("ca") == F.col("cb2")).cast("int")), F.lit(0)
+                ).alias("ok"),
+            )
+            .select(
+                F.lit("verified_log_planted_pairs_connected").alias("check_name"),
+                ((F.col("n") > 0) & (F.col("ok") == F.col("n"))).alias("passed"),
+            )
+        )
         res = (
             equal.unionByName(nonempty).unionByName(crossed)
+            .unionByName(all_checked).unionByName(vcrossed)
             .orderBy("check_name")
             .localCheckpoint(eager=True)  # materialize before tmp cleanup
         )
@@ -1179,13 +1257,17 @@ def oracle_sql() -> dict[str, str]:
         # streaming_batch_equiv: Spark COMPUTES the streaming-vs-batch
         # equivalence booleans (CC over the accumulated stateful edge log
         # partition-equal to batch bucket clustering; cross-batch planted
-        # pairs connected); the oracle pins all three TRUE so any
-        # equivalence break is a value hash mismatch in the driver record.
+        # pairs connected; composed sig-log + verified-edge sinks leave no
+        # edge unverifiable and keep planted pairs connected); the oracle
+        # pins all five TRUE so any equivalence break is a value hash
+        # mismatch in the driver record.
         "streaming_batch_equiv": """
             SELECT * FROM (VALUES
               ('clusters_equal_batch', TRUE),
               ('cross_batch_planted_pairs_connected', TRUE),
-              ('edge_log_nonempty', TRUE)
+              ('edge_log_nonempty', TRUE),
+              ('verified_log_all_edges_checked', TRUE),
+              ('verified_log_planted_pairs_connected', TRUE)
             ) AS t(check_name, passed)
             ORDER BY check_name
         """,
