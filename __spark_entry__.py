@@ -736,6 +736,111 @@ def q_streaming_batch_equiv(spark, sf_dir):
     return res
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Driver-visible CORRECTNESS for the incremental dedup index
+    (operators/incremental.py): the corpus plus planted copies is split
+    into three increments by ``doc_id % 3`` and folded one at a time
+    through ``DedupIndex.add_increment`` (sign only the increment, pair
+    only buckets/md5-groups touched by it, carry previous labels as star
+    edges); the final labels must EQUAL a from-scratch batch run (exact ∪
+    MinHash edges -> CC) on the concatenated corpus — both use min-member
+    cluster ids, so the strong row-level form is checked, not just
+    partition equality.
+
+    Planted copies sit at ``doc_id + 50_000_002`` (``% 3`` residue shifts
+    by 2), so connecting each (orig, copy) pair REQUIRES old-vs-new
+    candidate discovery across the stored signature index — check 2 is
+    non-vacuous for exactly the old∪new join path. The DuckDB oracle pins
+    all three booleans TRUE (detector_parity evidence class: Spark
+    computes the checks; any failure breaks the driver's value hash).
+
+    Not in BENCH_QUERIES: wall time is dominated by per-increment index
+    I/O on a tiny corpus; the signature/banding kernels it exercises are
+    priced by the flagship queries."""
+    import shutil
+    import tempfile
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.incremental import DedupIndex
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
+
+    OFF = 50_000_002  # keep OFF % 3 != 0: copies land in a different increment
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
+
+    tmp = tempfile.mkdtemp(prefix="inc_dedup_")
+    try:
+        idx = DedupIndex(f"{tmp}/idx", CFG)
+        labels = None
+        for i in range(3):
+            labels = idx.add_increment(
+                docs.where(F.col("doc_id") % 3 == i), "doc_id", "text"
+            )
+
+        edges, _hot = minhash_edges(docs, "doc_id", "text", CFG)
+        batch_edges = edges.unionByName(
+            exact_ops.exact_dup_edges(docs, "doc_id", "text")
+        ).distinct()
+        batch_labels = connected_components(
+            batch_edges, vertices=docs.select("doc_id"), pre_deduped=True
+        )
+        release_cached_deps(edges)
+
+        j = labels.select("id", F.col("cluster_id").alias("ci")).join(
+            batch_labels.select("id", F.col("cluster_id").alias("cb")), "id", "full"
+        )
+        equal = j.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("ci").isNull()
+                        | F.col("cb").isNull()
+                        | (F.col("ci") != F.col("cb"))
+                    ).cast("int")
+                ),
+                F.lit(0),
+            ).alias("mismatched"),
+        ).select(
+            F.lit("final_labels_equal_batch").alias("check_name"),
+            ((F.col("n") > 0) & (F.col("mismatched") == 0)).alias("passed"),
+        )
+        pairs = planted.select(
+            (F.col("doc_id") - OFF).alias("qa"), F.col("doc_id").alias("qb")
+        )
+        la = labels.select(F.col("id").alias("qa"), F.col("cluster_id").alias("ca"))
+        lb = labels.select(F.col("id").alias("qb"), F.col("cluster_id").alias("cb2"))
+        crossed = (
+            pairs.join(la, "qa")
+            .join(lb, "qb")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.sum((F.col("ca") == F.col("cb2")).cast("int")), F.lit(0)
+                ).alias("ok"),
+            )
+            .select(
+                F.lit("cross_increment_planted_pairs_connected").alias("check_name"),
+                ((F.col("n") > 0) & (F.col("ok") == F.col("n"))).alias("passed"),
+            )
+        )
+        three = spark.createDataFrame(
+            [("index_has_three_increments", idx.meta()["n_increments"] == 3)],
+            "check_name string, passed boolean",
+        )
+        res = (
+            equal.unionByName(crossed)
+            .unionByName(three)
+            .orderBy("check_name")
+            .localCheckpoint(eager=True)  # materialize before tmp cleanup
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
 MEDIA_K = 7  # demo payload fixtures cycling BMP/PNG/WAV (operators/multimodal.py)
 
 
@@ -997,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_parity": q_detector_parity,
         "media_dedup": q_media_dedup,
         "streaming_batch_equiv": q_streaming_batch_equiv,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1268,6 +1374,20 @@ def oracle_sql() -> dict[str, str]:
               ('edge_log_nonempty', TRUE),
               ('verified_log_all_edges_checked', TRUE),
               ('verified_log_planted_pairs_connected', TRUE)
+            ) AS t(check_name, passed)
+            ORDER BY check_name
+        """,
+        # incremental_dedup: Spark COMPUTES the incremental-vs-batch label
+        # equality (three per-increment folds through the persisted
+        # signature index must reproduce the from-scratch batch labels
+        # row-for-row, planted cross-increment copies connected); the
+        # oracle pins all three TRUE so any fold/batch divergence is a
+        # value-hash mismatch in the driver record.
+        "incremental_dedup": """
+            SELECT * FROM (VALUES
+              ('cross_increment_planted_pairs_connected', TRUE),
+              ('final_labels_equal_batch', TRUE),
+              ('index_has_three_increments', TRUE)
             ) AS t(check_name, passed)
             ORDER BY check_name
         """,

@@ -1,0 +1,113 @@
+"""Incremental dedup index: per-increment folds must reproduce the
+from-scratch batch run over the concatenated corpus (operators/incremental.py
+correctness contract), including across-increment duplicates, hot buckets,
+and content-less docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+from cs588_data_science_bug_duplicate_detector_spark.datagen import generate_pages
+from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
+from cs588_data_science_bug_duplicate_detector_spark.operators.exact import exact_dup_edges
+from cs588_data_science_bug_duplicate_detector_spark.operators.incremental import DedupIndex
+from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
+
+
+def _batch_labels(docs, cfg):
+    edges, _hot = minhash_edges(docs, "doc_id", "text", cfg)
+    all_edges = edges.unionByName(exact_dup_edges(docs, "doc_id", "text")).distinct()
+    return connected_components(all_edges, vertices=docs.select("doc_id"))
+
+
+def _assert_labels_equal(inc_labels, batch_labels):
+    """Both label sets use min-member cluster ids, so equal partitions
+    mean equal (id, cluster_id) rows — assert the strong form."""
+    j = inc_labels.select(
+        "id", F.col("cluster_id").alias("ca")
+    ).join(
+        batch_labels.select("id", F.col("cluster_id").alias("cb")), "id", "full"
+    )
+    assert j.where(
+        F.col("ca").isNull() | F.col("cb").isNull() | (F.col("ca") != F.col("cb"))
+    ).count() == 0
+
+
+def test_incremental_matches_batch_on_planted_corpus(spark, tmp_path):
+    cfg = DedupConfig()
+    pages, truth, _spans = generate_pages(spark, 450, seed=7)
+    docs = pages.withColumn(
+        "doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    ).select("doc_id", "text").cache()
+
+    idx = DedupIndex(str(tmp_path / "idx"), cfg)
+    labels = None
+    for i in range(3):  # doc_id % 3 splits planted clusters across increments
+        labels = idx.add_increment(
+            docs.where(F.col("doc_id") % 3 == i), "doc_id", "text"
+        )
+    assert idx.meta()["n_increments"] == 3
+
+    _assert_labels_equal(labels, _batch_labels(docs, cfg))
+
+    # cross-increment planted dup pairs really did connect (non-vacuous:
+    # truth pairs whose endpoints landed in different increments)
+    tr = truth.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("tid"),
+        "true_cluster_id",
+    )
+    t = (
+        tr.alias("x")
+        .join(tr.alias("y"), "true_cluster_id")
+        .where(
+            (F.col("x.tid") < F.col("y.tid"))
+            & ((F.col("x.tid") % 3) != (F.col("y.tid") % 3))
+        )
+        .select(F.col("x.tid").alias("qa"), F.col("y.tid").alias("qb"))
+    )
+    assert t.count() > 0
+    la = labels.select(F.col("id").alias("qa"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("id").alias("qb"), F.col("cluster_id").alias("cb"))
+    joined = t.join(la, "qa").join(lb, "qb")
+    assert joined.where(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_incremental_hot_bucket_and_blank_docs(spark, tmp_path):
+    cfg = DedupConfig(bucket_cap=8)
+    base = " ".join(f"tok{i}" for i in range(120))
+    rows = [(i, f"{base} variant{i}") for i in range(60)]  # boilerplate farm
+    rows += [(100, None), (101, "   "), (102, "wholly unrelated text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = DedupIndex(str(tmp_path / "idx"), cfg)
+    labels = None
+    for i in range(3):
+        labels = idx.add_increment(
+            docs.where(F.col("doc_id") % 3 == i), "doc_id", "text"
+        )
+
+    _assert_labels_equal(labels, _batch_labels(docs, cfg))
+    # the farm is one cluster even through capped buckets; the blank/NULL
+    # and unrelated docs stay singletons
+    farm = labels.where(F.col("id") < 60)
+    assert farm.select("cluster_id").distinct().count() == 1
+    singles = labels.where(F.col("id") >= 100)
+    assert singles.count() == 3
+    assert singles.select("cluster_id").distinct().count() == 3
+
+
+def test_index_guards(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "some text one"), (2, "other text two")], "doc_id long, text string"
+    )
+    idx = DedupIndex(str(tmp_path / "idx"), DedupConfig())
+    idx.add_increment(docs, "doc_id", "text")
+
+    # config mismatch refuses
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        DedupIndex(str(tmp_path / "idx"), DedupConfig(bucket_cap=7)).add_increment(
+            docs, "doc_id", "text"
+        )
+    # duplicate doc ids across increments refuse (labels can't cover them)
+    with pytest.raises(ValueError, match="duplicate doc ids"):
+        idx.add_increment(docs, "doc_id", "text")
