@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -363,4 +364,9 @@ class DedupIndex:
                 "total_docs": n_docs,
             }
         )
+        # each label snapshot is O(corpus); keep only the current one and
+        # its predecessor (crash safety: meta never points at a snapshot
+        # that could be mid-delete), prune everything older
+        for stale in range(n - 1):
+            shutil.rmtree(self._label_dir(stale), ignore_errors=True)
         return out

@@ -47,6 +47,11 @@ def test_incremental_matches_batch_on_planted_corpus(spark, tmp_path):
             docs.where(F.col("doc_id") % 3 == i), "doc_id", "text"
         )
     assert idx.meta()["n_increments"] == 3
+    # superseded label snapshots pruned: only v1 (predecessor) and v2 remain
+    import os
+
+    label_dirs = sorted(os.listdir(tmp_path / "idx" / "labels"))
+    assert label_dirs == ["v1", "v2"]
 
     _assert_labels_equal(labels, _batch_labels(docs, cfg))
 
