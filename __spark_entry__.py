@@ -741,11 +741,11 @@ def q_incremental_dedup(spark, sf_dir):
     (operators/incremental.py): the corpus plus planted copies is split
     into three increments by ``doc_id % 3`` and folded one at a time
     through ``DedupIndex.add_increment`` (sign only the increment, pair
-    only buckets/md5-groups touched by it, carry previous labels as star
-    edges); the final labels must EQUAL a from-scratch batch run (exact ∪
-    MinHash edges -> CC) on the concatenated corpus — both use min-member
-    cluster ids, so the strong row-level form is checked, not just
-    partition equality.
+    only LSH buckets / simhash chunks / md5 groups touched by it, carry
+    previous labels as star edges); the final labels must EQUAL a
+    from-scratch batch run (exact ∪ MinHash ∪ SimHash edges -> CC) on the
+    concatenated corpus — both use min-member cluster ids, so the strong
+    row-level form is checked, not just partition equality.
 
     Planted copies sit at ``doc_id + 50_000_002`` (``% 3`` residue shifts
     by 2), so connecting each (orig, copy) pair REQUIRES old-vs-new
@@ -762,6 +762,7 @@ def q_incremental_dedup(spark, sf_dir):
 
     from cs588_data_science_bug_duplicate_detector_spark.operators.incremental import DedupIndex
     from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
+    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges
 
     OFF = 50_000_002  # keep OFF % 3 != 0: copies land in a different increment
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -780,9 +781,11 @@ def q_incremental_dedup(spark, sf_dir):
             )
 
         edges, _hot = minhash_edges(docs, "doc_id", "text", CFG)
-        batch_edges = edges.unionByName(
-            exact_ops.exact_dup_edges(docs, "doc_id", "text")
-        ).distinct()
+        batch_edges = (
+            edges.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text"))
+            .unionByName(simhash_edges(docs, "doc_id", "text", CFG))
+            .distinct()
+        )
         batch_labels = connected_components(
             batch_edges, vertices=docs.select("doc_id"), pre_deduped=True
         )

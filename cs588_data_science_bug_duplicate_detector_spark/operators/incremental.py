@@ -5,16 +5,18 @@ The reference recomputes its duplicate structure from scratch on every
 run (``/root/reference/preprocess_data.py`` rebuilds the full pair set);
 at web scale the corpus is append-mostly — a daily crawl adds ~0.1% new
 documents — and re-running old-vs-old discovery is 99.8% wasted work.
-This module maintains a persisted index (MinHash signatures + exact-text
-md5 per doc + current cluster labels) and, per increment:
+This module maintains a persisted index (MinHash + SimHash signatures +
+exact-text md5 per doc — the full production detector set — plus current
+cluster labels) and, per increment:
 
 1. signs ONLY the new documents (one Arrow pass — the Python hot path is
    proportional to the increment, never the corpus);
-2. discovers candidate pairs with >= 1 NEW endpoint: new band keys are
-   joined against the stored signature index, and because LSH band keys
-   are pure functions of content+config, an old bucket that contains no
-   new member cannot produce a new pair — those buckets are dropped by a
-   band-key semi-join before any pairing happens;
+2. discovers candidate pairs with >= 1 NEW endpoint: new band keys /
+   simhash chunk keys / text md5s are joined against the stored index,
+   and because all three key families are pure functions of
+   content+config, an old bucket that contains no new member cannot
+   produce a new pair — those buckets are dropped by a key semi-join
+   before any pairing happens;
 3. folds the new verified edges into the previous labels: old clusters
    enter connected-components as star edges (cluster_id -> member), so
    the CC input is O(|old docs| + |new edges|), not O(all edges ever).
@@ -43,8 +45,8 @@ Scale notes (the 1000-executor story):
   converges in ~2 rounds regardless of how many increments accumulated.
 
 Correctness contract (pytest + driver ``incremental_dedup`` query): the
-final incremental partition equals a from-scratch batch run (exact-dup
-union MinHash edges, CC) over the concatenated corpus. Band keys and
+final incremental partition equals a from-scratch batch run (exact ∪
+MinHash ∪ SimHash edges, CC) over the concatenated corpus. Band keys and
 text hashes depend only on (content, config), so candidate discovery is
 corpus-composition-independent; the equality is asserted end-to-end on
 planted cross-increment duplicates.
@@ -68,22 +70,27 @@ from .minhash import (
     release_cached_deps,
     minhash_edges_from_sigs,
     verify_pairs,
-    with_minhash,
+    with_dual_signatures,
 )
+from .simhash import chunk_table, simhash_edges_from_sigs
 
 
 def _signed_increment(docs: DataFrame, id_col: str, text_col: str,
                       cfg: DedupConfig) -> DataFrame:
-    """(id, minhash, text_md5): everything the index stores per doc.
+    """(id, minhash, simhash, text_md5): everything the index stores per
+    doc — both hash signatures come from ONE Arrow pass
+    (``with_dual_signatures``: one JVM->Python text transfer, one shared
+    tokenization).
 
     ``text_md5`` is NULL for content-less docs (NULL/whitespace text) for
     the same reason ``exact_dup_edges`` filters them: "no content" must
     never group as "same content".
     """
-    sigs = with_minhash(docs.select(id_col, text_col), text_col, cfg)
+    sigs = with_dual_signatures(docs.select(id_col, text_col), text_col, cfg)
     return sigs.select(
         F.col(id_col).alias("id"),
         "minhash",
+        "simhash",
         F.when(_nonblank(F.col(text_col)), F.md5(F.col(text_col).cast("binary")))
         .alias("text_md5"),
     )
@@ -170,6 +177,71 @@ def incremental_minhash_edges(
     return edges, hot
 
 
+def incremental_simhash_edges(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    cfg: DedupConfig,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hamming-verified SimHash edges with >= 1 new endpoint.
+
+    Same touched-bucket discipline as the LSH fold, over the pigeonhole
+    chunk keys (``simhash.chunk_table``): old chunks are semi-joined on
+    the increment's (chunk_id, chunk_val) set before any window/pairing
+    work; hot chunks emit Hamming-verified star edges for NEW members
+    plus one bridge edge when the chunk root is itself new.
+    """
+    new_c = chunk_table(new_sigs, "id", cfg).withColumn("is_new", F.lit(True))
+    old_c = chunk_table(old_sigs, "id", cfg)
+    touched = new_c.select("chunk_id", "chunk_val").distinct()
+    old_t = old_c.join(touched, ["chunk_id", "chunk_val"], "left_semi").withColumn(
+        "is_new", F.lit(False)
+    )
+    combined = new_c.unionByName(old_t)
+    if num_partitions:
+        combined = combined.repartition(num_partitions, "chunk_id", "chunk_val")
+    w = Window.partitionBy("chunk_id", "chunk_val")
+    cw = (
+        combined.withColumn("n", F.count("*").over(w))
+        .withColumn("r", F.min(F.struct("id", "sig")).over(w))
+        .withColumn(
+            "om",
+            F.min(F.when(~F.col("is_new"), F.struct("id", "sig"))).over(w),
+        )
+        .persist()
+    )
+    ok = cw.where(F.col("n") <= cfg.simhash_chunk_cap).select(
+        "chunk_id", "chunk_val", "id", "sig", "is_new"
+    )
+    hmax = F.lit(cfg.simhash_hamming_max)
+    a, b = ok.alias("a"), ok.alias("b")
+    joined = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.is_new") | F.col("b.is_new"))
+        )
+        .where(F.expr("bit_count(a.sig ^ b.sig)") <= hmax)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    hot = cw.where(F.col("n") > cfg.simhash_chunk_cap)
+    star = (
+        hot.where(F.col("is_new") & (F.col("id") != F.col("r.id")))
+        .where(F.expr("bit_count(sig ^ r.sig)") <= hmax)
+        .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
+        .unionByName(
+            hot.where(
+                F.col("is_new")
+                & (F.col("id") == F.col("r.id"))
+                & F.col("om").isNotNull()
+            )
+            .where(F.expr("bit_count(sig ^ om.sig)") <= hmax)
+            .select(F.col("id").alias("src"), F.col("om.id").alias("dst"))
+        )
+    )
+    return _attach_deps(joined.unionByName(star).distinct(), [cw])
+
+
 def incremental_exact_edges(new_hashes: DataFrame, old_hashes: DataFrame) -> DataFrame:
     """Exact-dup star edges with >= 1 new endpoint.
 
@@ -246,9 +318,15 @@ class DedupIndex:
     carried label count).
     """
 
-    def __init__(self, root: str, cfg: DedupConfig | None = None):
+    def __init__(self, root: str, cfg: DedupConfig | None = None,
+                 use_simhash: bool = True):
         self.root = root
         self.cfg = cfg or DedupConfig()
+        # the production detector set is exact ∪ MinHash ∪ SimHash; False
+        # folds exact ∪ MinHash only (the flagship driver pair). Part of
+        # the index identity — mixing detector sets across increments
+        # breaks the inductive carried-labels invariant.
+        self.use_simhash = use_simhash
         os.makedirs(root, exist_ok=True)
 
     # --- layout helpers ---
@@ -264,7 +342,11 @@ class DedupIndex:
 
     def meta(self) -> dict:
         if not os.path.exists(self._meta_path):
-            return {"n_increments": 0, "cfg_fp": self.cfg.fingerprint()}
+            return {
+                "n_increments": 0,
+                "cfg_fp": self.cfg.fingerprint(),
+                "use_simhash": self.use_simhash,
+            }
         with open(self._meta_path) as f:
             return json.load(f)
 
@@ -283,7 +365,7 @@ class DedupIndex:
         )
         if upto is not None:
             df = df.where(F.col("inc") < upto)
-        return df.select("id", "minhash", "text_md5")
+        return df.select("id", "minhash", "simhash", "text_md5")
 
     def labels(self, spark: SparkSession) -> DataFrame:
         n = self.meta()["n_increments"]
@@ -307,6 +389,11 @@ class DedupIndex:
                 "config fingerprint mismatch: index was built with a different "
                 f"DedupConfig ({meta['cfg_fp']} != {self.cfg.fingerprint()})"
             )
+        if meta.get("use_simhash", True) != self.use_simhash:
+            raise ValueError(
+                "detector-set mismatch: index was built with "
+                f"use_simhash={meta.get('use_simhash', True)}"
+            )
         n = meta["n_increments"]
         _signed_increment(docs, id_col, text_col, self.cfg).write.mode(
             "overwrite"
@@ -314,6 +401,7 @@ class DedupIndex:
         new_sigs = spark.read.parquet(self._sig_dir(n))
         new_ids = new_sigs.select("id")
 
+        sim_edges = None
         if n == 0:
             lsh_edges, _hot = minhash_edges_from_sigs(
                 new_sigs.select("id", "minhash"), "id", self.cfg, num_partitions
@@ -325,10 +413,14 @@ class DedupIndex:
                 .where(F.col("id") != F.col("root"))
                 .select(F.col("root").alias("src"), F.col("id").alias("dst"))
             )
+            edges = lsh_edges.unionByName(exact)
+            if self.use_simhash:
+                sim_edges = simhash_edges_from_sigs(
+                    new_sigs.select("id", "simhash"), "id", self.cfg, num_partitions
+                )
+                edges = edges.unionByName(sim_edges)
             labels = connected_components(
-                lsh_edges.unionByName(exact).distinct(),
-                vertices=new_ids,
-                pre_deduped=True,
+                edges.distinct(), vertices=new_ids, pre_deduped=True
             )
         else:
             old_sigs = self.signatures(spark, upto=n)
@@ -343,11 +435,20 @@ class DedupIndex:
                 new_sigs.select("id", "text_md5"),
                 old_sigs.select("id", "text_md5"),
             )
-            labels = fold_labels(
-                old_labels, lsh_edges.unionByName(exact).distinct(), new_ids
-            )
+            edges = lsh_edges.unionByName(exact)
+            if self.use_simhash:
+                sim_edges = incremental_simhash_edges(
+                    new_sigs.select("id", "simhash"),
+                    old_sigs.select("id", "simhash"),
+                    self.cfg,
+                    num_partitions,
+                )
+                edges = edges.unionByName(sim_edges)
+            labels = fold_labels(old_labels, edges.distinct(), new_ids)
         labels.write.mode("overwrite").parquet(self._label_dir(n))
         release_cached_deps(lsh_edges)
+        if sim_edges is not None:
+            release_cached_deps(sim_edges)
         out = spark.read.parquet(self._label_dir(n))
         n_docs = out.count()
         # count the materialized parquet, not the incoming plan (no recompute)

@@ -8,7 +8,8 @@ measures, on one session and one corpus:
   1. base index build        (increment 0 = ~91% of the corpus)
   2. incremental fold        (increment 1 = ~9%, spread by doc_id % 11
                               so planted dup clusters cross the split)
-  3. full from-scratch batch (exact ∪ MinHash -> CC on 100%)
+  3. full from-scratch batch (exact ∪ MinHash ∪ SimHash -> CC on 100%,
+     the same detector set bench_scaling.py times)
 
 and asserts the fold's final labels describe the same corpus (label and
 cluster counts equal to the batch run — full row equality is the
@@ -51,6 +52,7 @@ def main() -> None:
         minhash_edges,
         release_cached_deps,
     )
+    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges
     from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
 
     cfg = DedupConfig()
@@ -79,9 +81,11 @@ def main() -> None:
 
         t0 = time.monotonic()
         edges, _hot = minhash_edges(docs, "doc_id", "text", cfg)
-        batch_edges = edges.unionByName(
-            exact_dup_edges(docs, "doc_id", "text")
-        ).distinct()
+        batch_edges = (
+            edges.unionByName(exact_dup_edges(docs, "doc_id", "text"))
+            .unionByName(simhash_edges(docs, "doc_id", "text", cfg))
+            .distinct()
+        )
         batch_labels = connected_components(
             batch_edges, vertices=docs.select("doc_id"), pre_deduped=True
         )

@@ -12,11 +12,16 @@ from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connect
 from cs588_data_science_bug_duplicate_detector_spark.operators.exact import exact_dup_edges
 from cs588_data_science_bug_duplicate_detector_spark.operators.incremental import DedupIndex
 from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
+from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges
 
 
 def _batch_labels(docs, cfg):
     edges, _hot = minhash_edges(docs, "doc_id", "text", cfg)
-    all_edges = edges.unionByName(exact_dup_edges(docs, "doc_id", "text")).distinct()
+    all_edges = (
+        edges.unionByName(exact_dup_edges(docs, "doc_id", "text"))
+        .unionByName(simhash_edges(docs, "doc_id", "text", cfg))
+        .distinct()
+    )
     return connected_components(all_edges, vertices=docs.select("doc_id"))
 
 
@@ -111,6 +116,11 @@ def test_index_guards(spark, tmp_path):
     # config mismatch refuses
     with pytest.raises(ValueError, match="fingerprint mismatch"):
         DedupIndex(str(tmp_path / "idx"), DedupConfig(bucket_cap=7)).add_increment(
+            docs, "doc_id", "text"
+        )
+    # detector-set mismatch refuses
+    with pytest.raises(ValueError, match="detector-set mismatch"):
+        DedupIndex(str(tmp_path / "idx"), DedupConfig(), use_simhash=False).add_increment(
             docs, "doc_id", "text"
         )
     # duplicate doc ids across increments refuse (labels can't cover them)
