@@ -161,7 +161,9 @@ def main() -> None:
         sig_schemas = [
             l for l in plan_inc.splitlines() if "ReadSchema" in l and "minhash" in l
         ]
-        assert sig_schemas and all("text_md5" not in l for l in sig_schemas), plan_inc
+        assert sig_schemas and all(
+            "text_md5" not in l and "simhash" not in l for l in sig_schemas
+        ), plan_inc
         out.write(
             "## 5. Incremental fold (operators/incremental.py)\n\n"
             "New-increment band keys vs the stored signature index: the old side is\n"
