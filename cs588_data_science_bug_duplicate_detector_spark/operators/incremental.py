@@ -50,6 +50,18 @@ MinHash ∪ SimHash edges, CC) over the concatenated corpus. Band keys and
 text hashes depend only on (content, config), so candidate discovery is
 corpus-composition-independent; the equality is asserted end-to-end on
 planted cross-increment duplicates.
+
+One declared asymmetry: hot-bucket CAP truncation is history-dependent.
+A bucket that was under ``bucket_cap`` in an earlier run had its pairs
+fully verified then; if later increments push it over the cap, a
+from-scratch run would keep only root-star edges while the fold retains
+the previously-verified member<->member edges through the carried
+labels. The fold therefore preserves AT LEAST the connectivity of the
+batch run's verify outcomes — it can only differ by keeping old true
+positives the batch cap would have truncated (the batch path documents
+the same recall trade for its own caps). On corpora where verify
+outcomes are homogeneous per bucket — including every tested config and
+the driver corpus — the partitions are exactly equal.
 """
 
 from __future__ import annotations
