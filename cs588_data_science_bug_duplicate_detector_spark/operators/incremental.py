@@ -387,13 +387,21 @@ class DedupIndex:
 
     # --- the one write path ---
     def add_increment(self, docs: DataFrame, id_col: str, text_col: str,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      cc_kwargs: dict | None = None) -> DataFrame:
         """Sign, pair, and fold one increment; returns the updated labels.
 
         Cost profile: Python/signature work O(|docs|); pairing touches
         only LSH buckets and md5 groups containing a new doc; CC input is
         carried-star-edges + new edges.
+
+        ``cc_kwargs`` forwards to ``connected_components`` — pass
+        ``{"reliable": True, "checkpoint_dir": ...}`` on a real cluster so
+        executor loss mid-fold replays from the round checkpoint instead
+        of restarting the CC loop (same knob the pipeline wires when a
+        workdir is present).
         """
+        cc_kwargs = cc_kwargs or {}
         spark = docs.sparkSession
         meta = self.meta()
         if meta["cfg_fp"] != self.cfg.fingerprint():
@@ -432,7 +440,7 @@ class DedupIndex:
                 )
                 edges = edges.unionByName(sim_edges)
             labels = connected_components(
-                edges.distinct(), vertices=new_ids, pre_deduped=True
+                edges.distinct(), vertices=new_ids, pre_deduped=True, **cc_kwargs
             )
         else:
             old_sigs = self.signatures(spark, upto=n)
@@ -456,7 +464,7 @@ class DedupIndex:
                     num_partitions,
                 )
                 edges = edges.unionByName(sim_edges)
-            labels = fold_labels(old_labels, edges.distinct(), new_ids)
+            labels = fold_labels(old_labels, edges.distinct(), new_ids, **cc_kwargs)
         labels.write.mode("overwrite").parquet(self._label_dir(n))
         release_cached_deps(lsh_edges)
         if sim_edges is not None:

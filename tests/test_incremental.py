@@ -111,7 +111,8 @@ def test_index_guards(spark, tmp_path):
         [(1, "some text one"), (2, "other text two")], "doc_id long, text string"
     )
     idx = DedupIndex(str(tmp_path / "idx"), DedupConfig())
-    idx.add_increment(docs, "doc_id", "text")
+    # reliable CC checkpoints pass through to the fold
+    idx.add_increment(docs, "doc_id", "text", cc_kwargs={"reliable": True})
 
     # config mismatch refuses
     with pytest.raises(ValueError, match="fingerprint mismatch"):
