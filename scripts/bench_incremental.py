@@ -38,6 +38,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=32)
+    # increment fraction ~ 1/split_mod of the corpus (11 -> ~9%, 101 -> ~1%)
+    ap.add_argument("--split-mod", type=int, default=11)
     args = ap.parse_args()
 
     ensure_corpus(args.docs)
@@ -64,8 +66,8 @@ def main() -> None:
     docs = spark.read.parquet(CORPUS).select(
         F.xxhash64("url").alias("doc_id"), "text"
     )
-    inc_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0)
-    base_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
+    inc_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(args.split_mod)) == 0)
+    base_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(args.split_mod)) != 0)
 
     tmp = tempfile.mkdtemp(prefix="bench_inc_")
     try:
@@ -114,6 +116,7 @@ def main() -> None:
             "full_recompute_sec": round(full_s, 1),
             "fold_speedup_vs_recompute": round(full_s / inc_s, 2),
             "cores": args.cores,
+            "split_mod": args.split_mod,
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
