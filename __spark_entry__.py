@@ -781,15 +781,17 @@ def q_incremental_dedup(spark, sf_dir):
             )
 
         edges, _hot = minhash_edges(docs, "doc_id", "text", CFG)
+        sim = simhash_edges(docs, "doc_id", "text", CFG)
         batch_edges = (
             edges.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text"))
-            .unionByName(simhash_edges(docs, "doc_id", "text", CFG))
+            .unionByName(sim)
             .distinct()
         )
         batch_labels = connected_components(
             batch_edges, vertices=docs.select("doc_id"), pre_deduped=True
         )
         release_cached_deps(edges)
+        release_cached_deps(sim)
 
         j = labels.select("id", F.col("cluster_id").alias("ci")).join(
             batch_labels.select("id", F.col("cluster_id").alias("cb")), "id", "full"

@@ -83,8 +83,9 @@ from .minhash import (
     minhash_edges_from_sigs,
     verify_pairs,
     with_dual_signatures,
+    with_minhash,
 )
-from .simhash import chunk_table, simhash_edges_from_sigs
+from .simhash import chunk_table, simhash_edges_from_sigs, with_simhash
 
 
 def _signed_increment(docs: DataFrame, id_col: str, text_col: str,
@@ -98,7 +99,17 @@ def _signed_increment(docs: DataFrame, id_col: str, text_col: str,
     the same reason ``exact_dup_edges`` filters them: "no content" must
     never group as "same content".
     """
-    sigs = with_dual_signatures(docs.select(id_col, text_col), text_col, cfg)
+    if cfg.shingle_mode == "char":
+        # char-shingle MinHash (CJK/unsegmented scripts) — the dual-pass
+        # kernel is token-only, so compute each signature with the SAME
+        # kernels the batch detectors use (SimHash stays token-based in
+        # the batch path too); stored signatures must be bit-identical to
+        # what a from-scratch run computes or the equality contract breaks
+        sigs = with_simhash(
+            with_minhash(docs.select(id_col, text_col), text_col, cfg), text_col
+        )
+    else:
+        sigs = with_dual_signatures(docs.select(id_col, text_col), text_col, cfg)
     return sigs.select(
         F.col(id_col).alias("id"),
         "minhash",
@@ -149,23 +160,46 @@ def incremental_minhash_edges(
         .select("band_key", "bucket_size")
         .distinct()
     )
-    # capped buckets: star edges for NEW members only; when the root is
-    # itself new, one bridge edge to the smallest old member welds the
-    # new root into the bucket's existing component (old members' mutual
-    # connectivity is already in the carried labels)
+    # capped buckets: star edges for NEW members; when the root is itself
+    # new, ALSO star every OLD member to the new root — the from-scratch
+    # run stars root->EVERY member with each edge individually verified,
+    # so a single bridge edge could under-connect when only SOME old
+    # members pass the root verify (old members' mutual connectivity is
+    # already in the carried labels either way)
     hot_rows = bw.where(F.col("bucket_size") > cfg.bucket_cap)
+    root_is_new = F.col("old_min").isNull() | (F.col("root") != F.col("old_min"))
     star = (
         hot_rows.where(F.col("is_new") & (F.col("id") != F.col("root")))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .unionByName(
-            hot_rows.where(
-                F.col("is_new")
-                & (F.col("id") == F.col("root"))
-                & F.col("old_min").isNotNull()
-            ).select(F.col("id").alias("src"), F.col("old_min").alias("dst"))
+            hot_rows.where(root_is_new & ~F.col("is_new"))
+            .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         )
         .distinct()
     )
+    # explicit hot-bucket salting (cfg.bucket_salt > 1): same id-hashed
+    # sub-bucket pairing as the batch path, restricted to >=1 new endpoint
+    # (old-old salted pairs were generated by the run that first saw the
+    # bucket hot, or fully verified while it was still under the cap)
+    if cfg.bucket_salt > 1:
+        salted = hot_rows.select(
+            F.xxhash64(
+                "band_key", F.pmod(F.xxhash64("id"), F.lit(cfg.bucket_salt))
+            ).alias("band_key"),
+            "id",
+            "is_new",
+        )
+        sp = (
+            salted.alias("a")
+            .join(salted.alias("b"), "band_key")
+            .where(
+                (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.is_new") | F.col("b.is_new"))
+            )
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .distinct()
+        )
+        star = star.unionByName(sp)
     a, b = ok.alias("a"), ok.alias("b")
     pairs = (
         a.join(b, ["band_key"])
@@ -179,12 +213,24 @@ def incremental_minhash_edges(
     )
     auto = pairs.where(F.col("n_bands") >= cfg.auto_accept_bands).select("src", "dst")
     ambiguous = pairs.where(F.col("n_bands") < cfg.auto_accept_bands).select("src", "dst")
-    all_sigs = new_sigs.select("id", "minhash").unionByName(
-        old_sigs.select("id", "minhash")
+    # prune the signature side to the pair endpoints BEFORE the verify
+    # joins: verify needs only ids appearing in a candidate pair, and the
+    # endpoint-id set is O(touched) — small enough to broadcast for a
+    # daily increment — while the stored signature table is the largest
+    # payload in the job; without the semi-join every increment would
+    # re-shuffle the whole corpus's 128-slot signatures
+    cand = ambiguous.unionByName(star)
+    endpoint_ids = (
+        cand.select(F.col("src").alias("id"))
+        .unionByName(cand.select(F.col("dst").alias("id")))
+        .distinct()
     )
-    verified = verify_pairs(
-        ambiguous.unionByName(star), all_sigs, "id", cfg
-    ).select("src", "dst")
+    all_sigs = (
+        new_sigs.select("id", "minhash")
+        .unionByName(old_sigs.select("id", "minhash"))
+        .join(endpoint_ids, "id", "left_semi")
+    )
+    verified = verify_pairs(cand, all_sigs, "id", cfg).select("src", "dst")
     edges = _attach_deps(auto.unionByName(verified).distinct(), [bw, pairs])
     return edges, hot
 
@@ -237,18 +283,19 @@ def incremental_simhash_edges(
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
     )
     hot = cw.where(F.col("n") > cfg.simhash_chunk_cap)
+    # new members star to the chunk root; when the root is itself new,
+    # ALSO star every OLD member (each Hamming-verified) — a from-scratch
+    # run stars root->every member, and per-edge verification means a
+    # single bridge could under-connect (see the LSH fold)
+    root_is_new = F.col("om").isNull() | (F.col("r.id") != F.col("om.id"))
     star = (
         hot.where(F.col("is_new") & (F.col("id") != F.col("r.id")))
         .where(F.expr("bit_count(sig ^ r.sig)") <= hmax)
         .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
         .unionByName(
-            hot.where(
-                F.col("is_new")
-                & (F.col("id") == F.col("r.id"))
-                & F.col("om").isNotNull()
-            )
-            .where(F.expr("bit_count(sig ^ om.sig)") <= hmax)
-            .select(F.col("id").alias("src"), F.col("om.id").alias("dst"))
+            hot.where(root_is_new & ~F.col("is_new"))
+            .where(F.expr("bit_count(sig ^ r.sig)") <= hmax)
+            .select(F.col("r.id").alias("src"), F.col("id").alias("dst"))
         )
     )
     return _attach_deps(joined.unionByName(star).distinct(), [cw])
@@ -317,7 +364,7 @@ class DedupIndex:
 
         root/
           meta.json            config fingerprint + increment count
-          sigs/inc=N/          (id, minhash, text_md5) per increment
+          sigs/inc=N/          (id, minhash, simhash, text_md5) per increment
           labels/v{N}/         full label snapshot after increment N
 
     ``meta.json`` is written LAST via atomic rename, so a crash mid-
@@ -370,7 +417,7 @@ class DedupIndex:
 
     # --- reads ---
     def signatures(self, spark: SparkSession, upto: int | None = None) -> DataFrame:
-        """All stored (id, minhash, text_md5); ``upto`` bounds the
+        """All stored (id, minhash, simhash, text_md5); ``upto`` bounds the
         increment index (exclusive) via partition pruning on ``inc``."""
         df = spark.read.option("basePath", os.path.join(self.root, "sigs")).parquet(
             os.path.join(self.root, "sigs")
@@ -426,13 +473,10 @@ class DedupIndex:
             lsh_edges, _hot = minhash_edges_from_sigs(
                 new_sigs.select("id", "minhash"), "id", self.cfg, num_partitions
             )
-            w = Window.partitionBy("text_md5")
-            exact = (
-                new_sigs.where(F.col("text_md5").isNotNull())
-                .withColumn("root", F.min("id").over(w))
-                .where(F.col("id") != F.col("root"))
-                .select(F.col("root").alias("src"), F.col("id").alias("dst"))
-            )
+            # same operator as the n>0 branch with an empty old side — one
+            # copy of the min-over-window star shape, not two
+            nh = new_sigs.select("id", "text_md5")
+            exact = incremental_exact_edges(nh, nh.where(F.lit(False)))
             edges = lsh_edges.unionByName(exact)
             if self.use_simhash:
                 sim_edges = simhash_edges_from_sigs(
@@ -481,6 +525,7 @@ class DedupIndex:
         self._write_meta(
             {
                 "cfg_fp": self.cfg.fingerprint(),
+                "use_simhash": self.use_simhash,
                 "n_increments": n + 1,
                 "total_docs": n_docs,
             }

@@ -83,9 +83,10 @@ def main() -> None:
 
         t0 = time.monotonic()
         edges, _hot = minhash_edges(docs, "doc_id", "text", cfg)
+        sim = simhash_edges(docs, "doc_id", "text", cfg)
         batch_edges = (
             edges.unionByName(exact_dup_edges(docs, "doc_id", "text"))
-            .unionByName(simhash_edges(docs, "doc_id", "text", cfg))
+            .unionByName(sim)
             .distinct()
         )
         batch_labels = connected_components(
@@ -98,6 +99,7 @@ def main() -> None:
         )
         full_s = time.monotonic() - t0
         release_cached_deps(edges)
+        release_cached_deps(sim)
 
         n_inc, k_inc = (
             inc_labels.agg(F.count("*"), F.countDistinct("cluster_id")).collect()[0]

@@ -16,13 +16,19 @@ from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import si
 
 
 def _batch_labels(docs, cfg):
+    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import release_cached_deps
+
     edges, _hot = minhash_edges(docs, "doc_id", "text", cfg)
+    sim = simhash_edges(docs, "doc_id", "text", cfg)
     all_edges = (
         edges.unionByName(exact_dup_edges(docs, "doc_id", "text"))
-        .unionByName(simhash_edges(docs, "doc_id", "text", cfg))
+        .unionByName(sim)
         .distinct()
     )
-    return connected_components(all_edges, vertices=docs.select("doc_id"))
+    labels = connected_components(all_edges, vertices=docs.select("doc_id"))
+    release_cached_deps(edges)
+    release_cached_deps(sim)
+    return labels
 
 
 def _assert_labels_equal(inc_labels, batch_labels):
@@ -83,7 +89,9 @@ def test_incremental_matches_batch_on_planted_corpus(spark, tmp_path):
 
 
 def test_incremental_hot_bucket_and_blank_docs(spark, tmp_path):
-    cfg = DedupConfig(bucket_cap=8)
+    # bucket_salt exercises the salted sub-bucket pairing in BOTH the
+    # batch path and the fold — equality below covers their agreement
+    cfg = DedupConfig(bucket_cap=8, bucket_salt=4)
     base = " ".join(f"tok{i}" for i in range(120))
     rows = [(i, f"{base} variant{i}") for i in range(60)]  # boilerplate farm
     rows += [(100, None), (101, "   "), (102, "wholly unrelated text here")]
@@ -104,6 +112,44 @@ def test_incremental_hot_bucket_and_blank_docs(spark, tmp_path):
     singles = labels.where(F.col("id") >= 100)
     assert singles.count() == 3
     assert singles.select("cluster_id").distinct().count() == 3
+
+
+def test_incremental_char_shingle_mode(spark, tmp_path):
+    """CJK-style unsegmented text: the index must store the same
+    char-shingle MinHash signatures the batch detector computes (the
+    dual-signature kernel is token-only, so _signed_increment branches)."""
+    cfg = DedupConfig(shingle_mode="char")
+    base = "吾輩は猫である名前はまだ無い何でも薄暗いじめじめした所でニャーニャー泣いていた事だけは記憶している" * 3
+    rows = [(i, base + f"追記{i % 4}") for i in range(12)]
+    rows += [(50, "全く別の内容の文書でありどの文書とも似ていない" * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = DedupIndex(str(tmp_path / "idx"), cfg)
+    labels = None
+    for i in range(2):
+        labels = idx.add_increment(
+            docs.where(F.col("doc_id") % 2 == i), "doc_id", "text"
+        )
+    _assert_labels_equal(labels, _batch_labels(docs, cfg))
+    # the near-identical CJK docs really did cluster (char shingles work)
+    assert labels.where(F.col("id") < 12).select("cluster_id").distinct().count() == 1
+
+
+def test_use_simhash_false_roundtrip(spark, tmp_path):
+    """A use_simhash=False index must accept follow-up increments (the
+    flag persists in meta) and still refuse a True reopen."""
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = DedupIndex(str(tmp_path / "idx"), DedupConfig(), use_simhash=False)
+    idx.add_increment(docs.where(F.col("doc_id") < 4), "doc_id", "text")
+    idx.add_increment(docs.where(F.col("doc_id") >= 4), "doc_id", "text")
+    assert idx.meta()["use_simhash"] is False
+    with pytest.raises(ValueError, match="detector-set mismatch"):
+        DedupIndex(str(tmp_path / "idx"), DedupConfig(), use_simhash=True).add_increment(
+            docs, "doc_id", "text"
+        )
 
 
 def test_index_guards(spark, tmp_path):
