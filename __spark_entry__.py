@@ -846,6 +846,68 @@ def q_incremental_dedup(spark, sf_dir):
     return res
 
 
+def _url_dedup_sql() -> str:
+    """DuckDB twin of q_url_dedup_groups: same synthetic variants, same
+    normalization chain (emitted by canonical_url_sql)."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.urls import canonical_url_sql
+
+    return f"""
+        SELECT {canonical_url_sql("url")} AS canonical,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_id
+        FROM (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://WWW.ExampleSite.org/p/' || (doc_id // 5)
+              WHEN 1 THEN 'https://examplesite.org/p/' || (doc_id // 5) || '/?utm_source=feed'
+              WHEN 2 THEN 'https://examplesite.org:443/p/' || (doc_id // 5) || '#section-2'
+              WHEN 3 THEN 'https://examplesite.org/p/' || (doc_id // 5) || '?fbclid=xyz123'
+              ELSE 'https://examplesite.org/p/' || (doc_id // 5) || '/'
+            END AS url
+          FROM documents
+        )
+        GROUP BY canonical
+        ORDER BY canonical
+    """
+
+
+def q_url_dedup_groups(spark, sf_dir):
+    """Canonical-URL dedup (functions/urls.py): webtext pipelines collapse
+    crawl-frontier noise (case-folded hosts, default ports, tracking
+    params, fragments, trailing slashes) BEFORE any content pass. The
+    documents table carries no url column, so five deterministic messy
+    variants per logical page are synthesized from ``doc_id`` (``DIV 5``
+    groups of five, each variant dirty in a different way), canonicalized
+    with the RE2-compatible regexp chain, and grouped.
+
+    The DuckDB oracle INDEPENDENTLY recomputes the whole thing — same
+    synthetic construction, same normalization steps emitted as DuckDB SQL
+    by ``canonical_url_sql`` — so this row is full value parity (Spark's
+    Java regex vs DuckDB's RE2 over every URL), not a pinned boolean."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.expr("doc_id DIV 5").cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW.ExampleSite.org/p/"), base))
+        .when(v == 1, F.concat(F.lit("https://examplesite.org/p/"), base, F.lit("/?utm_source=feed")))
+        .when(v == 2, F.concat(F.lit("https://examplesite.org:443/p/"), base, F.lit("#section-2")))
+        .when(v == 3, F.concat(F.lit("https://examplesite.org/p/"), base, F.lit("?fbclid=xyz123")))
+        .otherwise(F.concat(F.lit("https://examplesite.org/p/"), base, F.lit("/")))
+    )
+    return (
+        docs.withColumn("url", url)
+        .withColumn("canonical", canonical_url(F.col("url")))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .orderBy("canonical")
+    )
+
+
 MEDIA_K = 7  # demo payload fixtures cycling BMP/PNG/WAV (operators/multimodal.py)
 
 
@@ -1108,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "streaming_batch_equiv": q_streaming_batch_equiv,
         "incremental_dedup": q_incremental_dedup,
+        "url_dedup_groups": q_url_dedup_groups,
     }
 
 
@@ -1396,4 +1459,8 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(check_name, passed)
             ORDER BY check_name
         """,
+        # url_dedup_groups: DuckDB independently re-derives the messy
+        # variants AND re-runs the full canonicalization chain (RE2)
+        # against Spark's Java-regex version — full value parity.
+        "url_dedup_groups": _url_dedup_sql(),
     }

@@ -30,9 +30,27 @@ def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     )
 
 
-def deduped_pages(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def deduped_pages(stream: DataFrame, watermark: str = "1 hour",
+                  canonicalize: bool = False) -> DataFrame:
     """Drop re-crawled urls within the watermark horizon (state is bounded
-    by the watermark — required for an unbounded 10^12-doc crawl)."""
+    by the watermark — required for an unbounded 10^12-doc crawl).
+
+    ``canonicalize=True`` dedupes on the canonical URL form
+    (functions/urls.py: case-folded host, tracking params / fragments /
+    default ports / trailing slashes stripped) so frontier noise — the
+    same page under utm-decorated links — collapses to one admission.
+    The original ``url`` column is preserved; the state key is the
+    canonical form.
+    """
+    if canonicalize:
+        from ..functions.urls import canonical_url
+
+        return (
+            stream.withColumn("canonical_url", canonical_url(F.col("url")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["canonical_url"])
+            .drop("canonical_url")
+        )
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
