@@ -432,6 +432,41 @@ class DedupIndex:
             raise ValueError(f"empty index at {self.root}")
         return spark.read.parquet(self._label_dir(n - 1))
 
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int:
+        """Merge all completed increment dirs into one (``inc=0``).
+
+        Daily increments leave one small parquet dir each; after a year
+        the per-fold index scan opens ~365 directories of sub-optimal
+        files (the classic small-files tax). Compaction rewrites every
+        stored signature into a single staged directory, then swaps it in
+        as ``inc=0`` and removes the others — ``meta.n_increments`` keeps
+        counting upward (it is the NEXT write index, not a physical dir
+        count; the ``inc < n`` partition filter still admits the merged
+        dir). Returns the number of directories merged away.
+
+        The swap is staged (full parquet write incl. _SUCCESS before any
+        delete); on a posix filesystem the rename is atomic. On an object
+        store, run compaction from a single maintenance job — concurrent
+        folds during the swap window would read a partial index.
+        """
+        meta = self.meta()
+        n = meta["n_increments"]
+        existing = [
+            i for i in range(n) if os.path.exists(self._sig_dir(i))
+        ]
+        if len(existing) <= 1:
+            return 0
+        staged = os.path.join(self.root, "sigs_compact_tmp")
+        shutil.rmtree(staged, ignore_errors=True)
+        df = self.signatures(spark, upto=n)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        df.write.mode("overwrite").parquet(staged)
+        for i in existing:
+            shutil.rmtree(self._sig_dir(i), ignore_errors=True)
+        os.replace(staged, self._sig_dir(0))
+        return len(existing) - 1
+
     # --- the one write path ---
     def add_increment(self, docs: DataFrame, id_col: str, text_col: str,
                       num_partitions: int | None = None,

@@ -135,6 +135,31 @@ def test_incremental_char_shingle_mode(spark, tmp_path):
     assert labels.where(F.col("id") < 12).select("cluster_id").distinct().count() == 1
 
 
+def test_compact_preserves_index(spark, tmp_path):
+    """Compaction merges increment dirs without changing the stored
+    signatures, and folds after compaction still equal the batch run."""
+    import os
+
+    cfg = DedupConfig()
+    rows = [(i, f"document number {i} body words {' '.join(str(j) for j in range(i % 7 + 5))}")
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(6)]  # cross-increment copies
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = DedupIndex(str(tmp_path / "idx"), cfg)
+    for i in range(3):
+        idx.add_increment(docs.where(F.col("doc_id") % 4 == i), "doc_id", "text")
+
+    before = idx.signatures(spark).orderBy("id").collect()
+    merged = idx.compact(spark)
+    assert merged == 2
+    assert sorted(os.listdir(tmp_path / "idx" / "sigs")) == ["inc=0"]
+    assert idx.signatures(spark).orderBy("id").collect() == before
+
+    labels = idx.add_increment(docs.where(F.col("doc_id") % 4 == 3), "doc_id", "text")
+    _assert_labels_equal(labels, _batch_labels(docs, cfg))
+
+
 def test_use_simhash_false_roundtrip(spark, tmp_path):
     """A use_simhash=False index must accept follow-up increments (the
     flag persists in meta) and still refuse a True reopen."""
