@@ -1276,7 +1276,7 @@ WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "exact_dup_groups": """
+        "exact_dup_groups": r"""
             WITH with_planted AS (
               SELECT doc_id, text FROM documents
               UNION ALL
