@@ -32,6 +32,10 @@ from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
     minhash_edges_from_sigs,
     release_cached_deps,
 )
+from cs588_data_science_bug_duplicate_detector_spark.operators.lines import (
+    remove_boilerplate,
+    repetition_stats,
+)
 from cs588_data_science_bug_duplicate_detector_spark.operators.ngram import ngram_jaccard_pairs
 from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import simhash_edges_from_sigs
 from cs588_data_science_bug_duplicate_detector_spark.operators.suffix import suffix_edges
@@ -336,6 +340,61 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1, group_col="lang")
     return pairs.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+_BOILER_FOOTER1 = "(c) example.org | home | about | contact"
+_BOILER_FOOTER2 = "follow example-social for updates"
+
+
+def _multiline_planted(spark, sf_dir):
+    """The driver's documents are single-line texts, so line-level ops
+    would be vacuous on them. Plant deterministic multi-line structure in
+    BOTH engines: two footers shared across ~1/2 and ~1/3 of the corpus
+    (corpus boilerplate) and every 13th doc's body line repeated
+    (intra-doc repetition). NULL-text docs pass through unchanged so the
+    NULL branch is driver-visible too."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    did = F.col("doc_id")
+    planted = docs.where(t.isNotNull()).select(
+        "doc_id",
+        F.concat(
+            t,
+            F.when(did % 2 == 0, F.lit("\n" + _BOILER_FOOTER1)).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit("\n" + _BOILER_FOOTER2)).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.concat(F.lit("\n"), t)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.unionByName(docs.where(t.isNull()).select("doc_id", "text"))
+
+
+def q_boilerplate_clean_docs(spark, sf_dir):
+    """C4/CCNet-style line-level boilerplate removal: lines appearing in
+    >= 50 distinct docs are stripped from every doc, original order and
+    bytes of the kept lines preserved. Value-hashed on the full cleaned
+    text of every doc."""
+    docs = _multiline_planted(spark, sf_dir)
+    out = remove_boilerplate(docs, "doc_id", "text", min_docs=50)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition gate inputs: per doc, the
+    fraction of non-blank lines (and of their characters) occurring more
+    than once within the doc."""
+    docs = _multiline_planted(spark, sf_dir)
+    out = repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_char_frac",
+    )
 
 
 def q_embedding_knn(spark, sf_dir):
@@ -1171,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_batch_equiv": q_streaming_batch_equiv,
         "incremental_dedup": q_incremental_dedup,
         "url_dedup_groups": q_url_dedup_groups,
+        "boilerplate_clean_docs": q_boilerplate_clean_docs,
+        "doc_repetition_stats": q_doc_repetition_stats,
     }
 
 
@@ -1272,6 +1333,88 @@ SELECT src, dst,
 FROM inter
 WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.1
 """.format(tokens=_TOKENS_SQL)
+
+
+# Shared CTE chain for the two line-level queries: the SAME plant as
+# _multiline_planted (footers/body-repeat keyed on doc_id), split into
+# (doc_id, pos, line) with md5(whitespace-stripped line) keys. DuckDB's
+# regexp_replace mirrors the Spark side's _strip (trim() is space-only in
+# both engines, so both use the regex form).
+_LINES_PLANT_SQL = r"""
+planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{f1}' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{f2}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) || text ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE text IS NULL
+),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts
+  FROM planted WHERE text IS NOT NULL
+),
+lines AS (
+  -- parallel unnests zip in DuckDB: (pos, line) pairs, pos 1-based
+  SELECT doc_id,
+         unnest(generate_series(1, len(parts))) AS pos,
+         unnest(parts) AS line
+  FROM split_docs
+),
+keys AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(line, '^\s+|\s+$', '', 'g')) AS k,
+         regexp_replace(line, '^\s+|\s+$', '', 'g') <> '' AS counted
+  FROM lines
+)
+""".format(f1=_BOILER_FOOTER1, f2=_BOILER_FOOTER2)
+
+_BOILERPLATE_CLEAN_SQL = f"""
+WITH {_LINES_PLANT_SQL},
+boiler AS (
+  SELECT k FROM keys WHERE counted GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 50
+),
+flagged AS (
+  SELECT doc_id, pos, line, k IN (SELECT k FROM boiler) AS removed FROM keys
+),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removed,
+         COALESCE(string_agg(CASE WHEN NOT removed THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CASE WHEN p.text IS NOT NULL THEN COALESCE(r.clean_text, '') END AS clean_text,
+       COALESCE(r.n_lines, 0) AS n_lines,
+       COALESCE(r.n_removed, 0) AS n_removed
+FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+_DOC_REPETITION_SQL = f"""
+WITH {_LINES_PLANT_SQL},
+perkey AS (
+  SELECT doc_id, k, COUNT(*) AS cnt,
+         FIRST(len(regexp_replace(line, '^\\s+|\\s+$', '', 'g'))) AS line_len
+  FROM keys WHERE counted GROUP BY doc_id, k
+),
+stats AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_lines,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup,
+         SUM(cnt * line_len) AS n_chars,
+         SUM(CASE WHEN cnt > 1 THEN cnt * line_len ELSE 0 END) AS n_dup_chars
+  FROM perkey GROUP BY doc_id
+)
+SELECT p.doc_id,
+       COALESCE(s.n_lines, 0) AS n_lines,
+       ROUND(CASE WHEN COALESCE(s.n_lines, 0) > 0
+                  THEN CAST(s.n_dup AS DOUBLE) / s.n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN COALESCE(s.n_chars, 0) > 0
+                  THEN CAST(s.n_dup_chars AS DOUBLE) / s.n_chars ELSE 0.0 END, 6) AS dup_char_frac
+FROM planted p LEFT JOIN stats s USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1463,4 +1606,6 @@ def oracle_sql() -> dict[str, str]:
         # variants AND re-runs the full canonicalization chain (RE2)
         # against Spark's Java-regex version — full value parity.
         "url_dedup_groups": _url_dedup_sql(),
+        "boilerplate_clean_docs": _BOILERPLATE_CLEAN_SQL,
+        "doc_repetition_stats": _DOC_REPETITION_SQL,
     }
