@@ -81,8 +81,18 @@ class DedupConfig:
             raise ValueError("bands * rows_per_band must equal num_perm")
 
     def fingerprint(self) -> str:
-        """Stable hash of the config — part of every stage checkpoint's lineage."""
-        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        """Stable hash of the config — part of every stage checkpoint's
+        lineage. Folds in the signature KERNEL_VERSION so persisted
+        signatures (pipeline checkpoints, DedupIndex) from an older hash
+        family are invalidated rather than silently mixed with newly
+        signed data."""
+        from .functions.hashing import KERNEL_VERSION
+
+        payload = json.dumps(
+            {**asdict(self), "_kernel_version": KERNEL_VERSION},
+            sort_keys=True,
+            default=str,
+        )
         return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
 
 

@@ -34,8 +34,6 @@ def main() -> None:
     from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import (
         simhash_edges_from_sigs,
     )
-    from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import with_minhash
-    from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
     from cs588_data_science_bug_duplicate_detector_spark.session import get_spark
 
     cfg = DedupConfig()
@@ -63,7 +61,12 @@ def main() -> None:
     with phase("read_docs"):
         docs.count()
     with phase("sign"):
-        sigs = with_simhash(with_minhash(docs, "text", cfg), "text").drop("text").persist()
+        # the production shape: ONE Arrow pass, shared tokenize + token hash
+        from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
+            with_dual_signatures,
+        )
+
+        sigs = with_dual_signatures(docs, "text", cfg).drop("text").persist()
         sigs.count()
     with phase("minhash_detect"):
         mh_edges, _hot = mh.minhash_edges_from_sigs(

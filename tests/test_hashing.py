@@ -27,20 +27,52 @@ def test_hash64_deterministic():
     assert a[0] != a[1]
 
 
+def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Naive per-doc shingle hashes under the v2 token-hash rolling-combine
+    family — recomputed from scratch (no batching, no segment machinery)."""
+    toks = hashing._TOKEN_RE.findall((text or "").lower())
+    W = hashing._shingle_weights(k)
+    if not toks:
+        return np.array([hashing._EMPTY_SHINGLE], dtype=np.uint64)
+    h = hashing.hash64(np.array(toks, dtype=object))
+    with np.errstate(over="ignore"):
+        # accumulate in uint64 ARRAYS: python sum() would promote
+        # np.uint64 + int to float64 and silently corrupt the hash
+        width = min(len(toks), k)
+        n_wins = max(len(toks) - k + 1, 1)
+        wins = np.zeros(n_wins, dtype=np.uint64)
+        for i in range(width):
+            wins += W[i] * h[i : i + n_wins]
+        return hashing._mix64(wins)
+
+
 def test_minhash_matches_per_doc_oracle():
-    """Batched segment-reduce signatures == naive per-doc min over perms."""
+    """Batched segment-reduce signatures == naive per-doc min over perms,
+    with the shingle hashes recomputed doc-by-doc (exercises the batched
+    window-validity/scatter machinery against a trivial reference)."""
     a, b = hashing.minhash_perms(32, 42)
     texts = _texts()
     sig = hashing.minhash_signatures(texts, 3, a, b)
     assert sig.shape == (len(texts), 32)
     for i, t in enumerate(texts):
-        sh = sorted(hashing.shingle_set(t, 3))
-        h = hashing.hash64(np.array(sh, dtype=object))
+        h = np.unique(_doc_shingle_hashes(t, 3))  # set semantics like shingle_set
         with np.errstate(over="ignore"):
             expect = np.array(
                 [np.min(a[j] * h + b[j]) for j in range(32)], dtype=np.uint64
             ).view(np.int64)
         assert np.array_equal(sig[i], expect), f"doc {i}"
+
+
+def test_minhash_distinct_shingle_sequences_differ():
+    """Position weighting: reordered token windows hash differently (a
+    commutative combine would weld 'a b c' and 'c b a' shingles)."""
+    sh1 = _doc_shingle_hashes("alpha beta gamma", 3)
+    sh2 = _doc_shingle_hashes("gamma beta alpha", 3)
+    assert sh1[0] != sh2[0]
+    # short-doc prefix combine never equals the same tokens inside a full
+    # k-window family (different width => different weight count)
+    s_short = _doc_shingle_hashes("alpha beta", 3)
+    assert s_short[0] not in set(sh1.tolist())
 
 
 def test_minhash_estimates_jaccard():
