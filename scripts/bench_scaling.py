@@ -126,6 +126,11 @@ def main() -> None:
     # ratio is far less biased than min-of-independent-samples when
     # co-tenant load drifts over minutes
     ap.add_argument("--paired", type=int, default=0, help="number of adjacent (N,4N) pairs")
+    ap.add_argument(
+        "--out",
+        default="BENCH/scaling_paired.json",
+        help="paired-mode summary path (so a 3M-doc campaign doesn't clobber the 1M record)",
+    )
     args = ap.parse_args()
 
     if args.cores:
@@ -143,8 +148,14 @@ def main() -> None:
         prefix = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
         proc = subprocess.run(
             prefix + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
+        if proc.returncode != 0:
+            # surface the child's failure — a swallowed stderr cost a 40-min
+            # unattended 3M-doc run its second pair with zero diagnostics
+            sys.stderr.write(f"--- child (cores={cores}) rc={proc.returncode} stderr tail ---\n")
+            sys.stderr.write(proc.stderr[-4000:] + "\n")
+            raise RuntimeError(f"leg cores={cores} failed rc={proc.returncode}")
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
         return json.loads(line[len("RESULT "):])
 
@@ -156,17 +167,25 @@ def main() -> None:
             # slows it — alternating cancels the direction across pairs
             # (round-5 data point: one pair read 0.397 purely because its lo
             # leg caught a fast phase its hi leg missed)
-            if i % 2 == 0:
-                hi = run_pinned(levels[1])
-                lo = run_pinned(levels[0])
-            else:
-                lo = run_pinned(levels[0])
-                hi = run_pinned(levels[1])
+            try:
+                if i % 2 == 0:
+                    hi = run_pinned(levels[1])
+                    lo = run_pinned(levels[0])
+                else:
+                    lo = run_pinned(levels[0])
+                    hi = run_pinned(levels[1])
+            except RuntimeError as e:
+                # a failed leg voids the pair, not the whole campaign: later
+                # pairs still produce usable ratios (unattended multi-hour runs)
+                print(json.dumps({"pair": i, "error": str(e)}), flush=True)
+                continue
             pairs.append({
                 "lo_sec": lo["sec"], "hi_sec": hi["sec"],
                 "efficiency": round(lo["sec"] / hi["sec"] / 4.0, 3),
             })
             print(json.dumps(pairs[-1]), flush=True)
+        if not pairs:
+            raise SystemExit("every pair failed — see stderr above")
         effs = sorted(p["efficiency"] for p in pairs)
         # bootstrap CI on the median of pair efficiencies: the pair ratios
         # are i.i.d.-ish across rounds (adjacent legs share host drift, the
@@ -186,7 +205,7 @@ def main() -> None:
             "median_ci90": [boots[500], boots[9499]],
         }
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/scaling_paired.json", "w") as f:
+        with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))
         return

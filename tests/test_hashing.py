@@ -162,3 +162,14 @@ def test_blocked_minhash_reduce_matches_unblocked():
             hv = a[j] * h + b[j]
             want[:, j] = np.minimum.reduceat(hv, offsets)
     assert np.array_equal(got, want.view(np.int64))
+
+
+def test_kernel_version_changes_config_fingerprint(monkeypatch):
+    """Persisted signatures (checkpoints, DedupIndex) must invalidate when
+    the signature hash family changes: KERNEL_VERSION is part of every
+    DedupConfig fingerprint."""
+    from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
+
+    fp = DedupConfig().fingerprint()
+    monkeypatch.setattr(hashing, "KERNEL_VERSION", hashing.KERNEL_VERSION + 1)
+    assert DedupConfig().fingerprint() != fp
