@@ -533,6 +533,33 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_report(spark, sf_dir):
+    """Cluster-size histogram over the flagship labels — the "how much of
+    the corpus is duplicated, at what sizes" rollup every production dedup
+    run reports (operators/report.py). Two map-side-combinable groupBys;
+    the DuckDB oracle recomputes it from the same recursive-CTE closure."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.report import (
+        cluster_size_histogram,
+    )
+
+    labels = _cached_labels(spark, sf_dir, "portable")
+    return cluster_size_histogram(labels).orderBy("cluster_size")
+
+
+def q_source_dup_stats(spark, sf_dir):
+    """Per-source duplicate concentration (operators/report.py): which
+    sources contribute the duplicates — dup membership judged against
+    GLOBAL cluster size, so mirrors holding one copy each still count.
+    ``dup_ppm`` is exact integer parts-per-million (bit-stable vs DuckDB)."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.report import (
+        source_dup_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = _cached_labels(spark, sf_dir, "portable")
+    return source_dup_stats(labels, docs).orderBy("source")
+
+
 def q_simhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = portable.with_portable_simhash(
@@ -1221,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_fast": q_minhash_clusters_fast,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_report": q_dedup_report,
+        "source_dup_stats": q_source_dup_stats,
         "simhash_candidates": q_simhash_candidates,
         "simhash_candidates_fast": q_simhash_candidates_fast,
         "suffix_span_edges": q_suffix_span_edges,
@@ -1550,6 +1579,32 @@ def oracle_sql() -> dict[str, str]:
               FROM ({portable.minhash_clusters_sql(CFG)}) l
               JOIN documents d ON d.doc_id = l.doc_id
             ) WHERE rk = 1
+        """,
+        "dedup_report": f"""
+            SELECT cluster_size, COUNT(*) AS n_clusters,
+                   cluster_size * COUNT(*) AS n_docs
+            FROM (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM ({portable.minhash_clusters_sql(CFG)}) GROUP BY cluster_id
+            ) GROUP BY cluster_size
+        """,
+        "source_dup_stats": f"""
+            WITH labels AS ({portable.minhash_clusters_sql(CFG)}),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+            ),
+            per_sc AS (
+              SELECT d.source, l.cluster_id, COUNT(*) AS n, MAX(s.sz) AS sz
+              FROM labels l
+              JOIN sizes s USING (cluster_id)
+              JOIN documents d USING (doc_id)
+              GROUP BY d.source, l.cluster_id
+            )
+            SELECT source, SUM(n) AS n_docs,
+                   SUM(CASE WHEN sz > 1 THEN n ELSE 0 END) AS n_dup_docs,
+                   COUNT(*) AS n_clusters,
+                   SUM(CASE WHEN sz > 1 THEN n ELSE 0 END) * 1000000 // SUM(n) AS dup_ppm
+            FROM per_sc GROUP BY source
         """,
         "simhash_candidates": portable.simhash_candidates_sql(CFG),
         "suffix_span_edges": portable.suffix_span_edges_sql(SUFFIX_ORACLE_CFG),

@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "ann_lsh_topk_allcorpus",
     # round 5: real-codec multimodal decode + md5 media-dedup (mapInPandas)
     "media_dedup",
+    # round 5: corpus-level rollups (reuse the flagship's session-cached
+    # labels within a pass, like dedup_corpus — they price the report ops)
+    "dedup_report",
+    "source_dup_stats",
 ]
 
 
