@@ -224,6 +224,66 @@ def generate_pages_distributed(
     )
 
 
+SKEW_SCHEMA = "url string, text string, lang string"
+
+
+def generate_skewed_pages_distributed(
+    spark,
+    n_docs: int,
+    farm_frac: float = 0.1,
+    seed: int = 42,
+    slice_size: int = 5000,
+):
+    """Adversarial skew corpus: ONE GLOBAL boilerplate farm spanning every
+    slice. ``generate_pages_distributed`` plants clusters that never cross
+    slices (farm ≤ slice_size/25 members), so it cannot exercise the
+    hot-bucket cap/star/salt path at its design point — a single template
+    shared by millions of pages (cookie banners, parked domains, mirror
+    shells are exactly this in real crawls).
+
+    Doc with global id ``i`` is a farm member iff ``i % round(1/farm_frac)
+    == 0``: the template is regenerated IDENTICALLY in every slice from
+    ``seed`` alone, and each member differs by one id-seeded token (near-
+    identical: shingle-Jaccard ~0.95+, SimHash Hamming ~<=4). Non-members
+    are independent filler. Deterministic for (n_docs, farm_frac, seed,
+    slice_size). Returns (url, text, lang) only — the dedup job's input
+    projection."""
+    stride = max(2, int(round(1.0 / farm_frac)))
+    n_slices = (n_docs + slice_size - 1) // slice_size
+    sizes = [min(slice_size, n_docs - i * slice_size) for i in range(n_slices)]
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                s = int(row["id"])
+                template = [
+                    str(t)
+                    for t in np.random.default_rng(seed).choice(_vocab("en"), size=180)
+                ]
+                rng = np.random.default_rng(seed + 1_000_003 * (s + 1))
+                v = _vocab("en")
+                base = s * slice_size
+                urls, texts = [], []
+                for j in range(sizes[s]):
+                    gid = base + j
+                    urls.append(f"https://skew.example.org/p/{gid:09d}")
+                    if gid % stride == 0:
+                        toks = list(template)
+                        pos = 5 + gid % (len(toks) - 10)
+                        toks[pos] = f"unique{gid:09d}"
+                        texts.append(" ".join(toks))
+                    else:
+                        length = int(rng.integers(60, 400))
+                        texts.append(" ".join(str(t) for t in rng.choice(v, size=length)))
+                yield pd.DataFrame({"url": urls, "text": texts, "lang": "en"})
+
+    return (
+        spark.range(n_slices)
+        .repartition(n_slices)
+        .mapInPandas(gen, schema=SKEW_SCHEMA)
+    )
+
+
 def generate_pages(spark, n_docs: int, seed: int = 42, cfg: DedupConfig | None = None):
     """Spark DataFrames (pages, truth, spans); pages repartitioned for parallelism."""
     pages_pdf, truth_pdf, spans_pdf = generate_pages_pdf(n_docs, seed=seed, cfg=cfg)

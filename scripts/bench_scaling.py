@@ -39,7 +39,7 @@ def ensure_corpus(n_docs: int) -> None:
     open(marker, "w").close()
 
 
-def run_once(cores: int) -> dict:
+def run_once(cores: int, corpus: str = CORPUS) -> dict:
     from pyspark.sql import functions as F
 
     from cs588_data_science_bug_duplicate_detector_spark.config import DedupConfig
@@ -59,7 +59,7 @@ def run_once(cores: int) -> dict:
     # and a hash exchange of the full text payload is the worst-scaling op on
     # this host (see BENCH/BASELINE.md shuffle microbenchmark)
     docs = (
-        spark.read.parquet(CORPUS)
+        spark.read.parquet(corpus)
         .select(F.xxhash64("url").alias("doc_id"), "text")
         .persist()
     )
@@ -88,10 +88,12 @@ def run_once(cores: int) -> dict:
     # edges are already distinct + persisted: skip CC's internal dedup shuffle
     labels = connected_components(edges, vertices=docs.select("doc_id"), pre_deduped=True)
     n_labels = labels.count()
-    n_clusters = labels.select("cluster_id").distinct().count()
+    sizes_df = labels.groupBy("cluster_id").count()
+    n_clusters = sizes_df.count()
+    max_cluster = sizes_df.agg(F.max("count")).collect()[0][0]
     sec = time.time() - t0
     t_cc = sec - t_detect
-    n_docs = spark.read.parquet(CORPUS).count()  # separate lineage, after timing
+    n_docs = spark.read.parquet(corpus).count()  # separate lineage, after timing
     spark.stop()
     return {
         "cores": cores,
@@ -104,6 +106,7 @@ def run_once(cores: int) -> dict:
         "docs_per_sec": round(n_docs / sec, 1),
         "labels": n_labels,
         "clusters": n_clusters,
+        "max_cluster": int(max_cluster) if max_cluster is not None else 0,
     }
 
 
