@@ -149,9 +149,15 @@ def main() -> None:
 
     def run_pinned(cores: int) -> dict:
         prefix = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
+        env = dict(os.environ)
+        # 8g heap is borderline at 3M docs (observed: pair-2 legs OOMing in
+        # the CC count while pair-1 legs squeak through — persisted sigs +
+        # band table + localCheckpoint blocks). Scale the local-mode heap
+        # with the corpus unless the caller pinned it.
+        env.setdefault("SPARK_DRIVER_MEM", "16g" if args.docs >= 2_000_000 else "8g")
         proc = subprocess.run(
             prefix + [sys.executable, __file__, "--cores", str(cores), "--docs", str(args.docs)],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
         )
         if proc.returncode != 0:
             # surface the child's failure — a swallowed stderr cost a 40-min
