@@ -533,6 +533,37 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII masking (functions/pii.py): emails / IPv4 / phones planted
+    deterministically over the documents table (``doc_id % 4`` variants —
+    the corpus itself carries no PII), masked with the RE2-compatible
+    regexp chain. Full value parity: the DuckDB oracle independently
+    re-plants and re-masks with the identical pattern strings
+    (``mask_pii_sql`` / ``pii_counts_sql``), and md5 over the ENTIRE
+    masked text pins every replaced byte, Java regex vs RE2."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.pii import (
+        mask_pii,
+        pii_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    planted = (
+        F.when(v == 0, F.concat(F.col("text"), F.lit(" contact john.doe+x@ex-ample.org now")))
+        .when(v == 1, F.concat(F.col("text"), F.lit(" from host 10.20.30.40 port 443")))
+        .when(v == 2, F.concat(F.col("text"), F.lit(" call +1 555 0172 300 or (555) 123-4567")))
+        .otherwise(F.col("text"))
+    )
+    c = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ipv4"].alias("n_ipv4"),
+        c["phone"].alias("n_phone"),
+        F.md5(mask_pii(planted)).alias("masked_md5"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_report(spark, sf_dir):
     """Cluster-size histogram over the flagship labels — the "how much of
     the corpus is duplicated, at what sizes" rollup every production dedup
@@ -1044,6 +1075,32 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB twin of q_pii_scrub: re-plants the PII variants and re-masks
+    with the IDENTICAL pattern strings (functions/pii.py generates both
+    sides from one PII_STEPS list), full value parity incl. md5 over the
+    whole masked text."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.pii import (
+        mask_pii_sql,
+        pii_counts_sql,
+    )
+
+    c = pii_counts_sql("_pt")
+    return f"""
+        SELECT doc_id, {c['email']} AS n_email, {c['ipv4']} AS n_ipv4,
+               {c['phone']} AS n_phone, md5({mask_pii_sql('_pt')}) AS masked_md5
+        FROM (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN text || ' contact john.doe+x@ex-ample.org now'
+              WHEN 1 THEN text || ' from host 10.20.30.40 port 443'
+              WHEN 2 THEN text || ' call +1 555 0172 300 or (555) 123-4567'
+              ELSE text END AS _pt
+          FROM documents
+        )
+    """
+
+
 def _media_dedup_oracle_sql() -> str:
     from cs588_data_science_bug_duplicate_detector_spark.operators.multimodal import (
         demo_payload_expected,
@@ -1248,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "minhash_clusters_fast": q_minhash_clusters_fast,
         "dedup_corpus": q_dedup_corpus,
+        "pii_scrub": q_pii_scrub,
         "dedup_report": q_dedup_report,
         "source_dup_stats": q_source_dup_stats,
         "simhash_candidates": q_simhash_candidates,
@@ -1580,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents d ON d.doc_id = l.doc_id
             ) WHERE rk = 1
         """,
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "dedup_report": f"""
             SELECT cluster_size, COUNT(*) AS n_clusters,
                    cluster_size * COUNT(*) AS n_docs

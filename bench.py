@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     # labels within a pass, like dedup_corpus — they price the report ops)
     "dedup_report",
     "source_dup_stats",
+    # round 5: PII masking (pure-Catalyst regexp chain over full doc text)
+    "pii_scrub",
 ]
 
 
