@@ -136,7 +136,19 @@ def band_table(sigs: DataFrame, id_col: str, cfg: DedupConfig, sig_col: str = "m
 def capped_band_table(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """One window pass over the band table: + bucket_size, + root (min id)
     per bucket. The cap split, the hot-bucket star edges, and the pair
-    self-join all derive from this single shuffled table."""
+    self-join all derive from this single shuffled table.
+
+    Measured-and-rejected alternative (round 5, 1M docs, local[32]):
+    ``groupBy(band_key).agg(collect_list(id))`` + JVM-side pair-combination
+    explode replaces window+self-join with one aggregation — 29.3s vs 36.9s
+    for the full detect tail, bit-identical edge set. Rejected because it
+    materializes each bucket as ONE in-memory array in a single aggregation
+    state: a pathological bucket at the 10^12-doc design point (a parked-
+    domain template with 10^9 members = an 8 GB array) OOMs the executor,
+    while WindowExec's ExternalAppendOnlyUnsafeRowArray spills the same
+    partition to disk and finishes. The window path trades ~20% of one
+    phase at bench scale for surviving the exact skew this module exists
+    to handle (see BENCH/BASELINE.md round-5 skew stress)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_key")
