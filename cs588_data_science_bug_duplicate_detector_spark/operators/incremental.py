@@ -152,6 +152,10 @@ def incremental_minhash_edges(
         .withColumn(
             "old_min", F.min(F.when(~F.col("is_new"), F.col("id"))).over(w)
         )
+        # singleton buckets emit nothing (no pair, star, or hot row) —
+        # drop them before the persist + pair join, same -42% detect-tail
+        # win as the batch path (operators/minhash.py)
+        .where(F.col("bucket_size") >= 2)
         .persist()
     )
     ok = bw.where(F.col("bucket_size") <= cfg.bucket_cap)
