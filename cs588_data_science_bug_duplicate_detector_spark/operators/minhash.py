@@ -148,7 +148,10 @@ def capped_band_table(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     while WindowExec's ExternalAppendOnlyUnsafeRowArray spills the same
     partition to disk and finishes. The window path trades ~20% of one
     phase at bench scale for surviving the exact skew this module exists
-    to handle (see BENCH/BASELINE.md round-5 skew stress)."""
+    to handle (see BENCH/BASELINE.md round-5 skew stress) — and the
+    singleton-bucket filter applied at this window's output (see
+    ``minhash_edges_from_sigs``) then beat the rejected shape outright
+    (21.3s vs its 29.3s) with the robustness kept."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_key")

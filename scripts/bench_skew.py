@@ -45,6 +45,10 @@ def ensure_skew_corpus(n_docs: int, farm_frac: float, seed: int = 42) -> None:
         "overwrite"
     ).parquet(SKEW_CORPUS)
     spark.stop()
+    import glob
+
+    for m in glob.glob(os.path.join(SKEW_CORPUS, "_GEN_*")):
+        os.remove(m)
     open(marker, "w").close()
 
 
