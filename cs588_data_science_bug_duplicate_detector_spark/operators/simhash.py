@@ -78,6 +78,10 @@ def simhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     cw = (
         chunks.withColumn("n", F.count("*").over(w))
         .withColumn("r", F.min(F.struct("id", "sig")).over(w))
+        # singleton chunk buckets emit nothing (no pair, star, or hot row):
+        # drop them before the persist + self-join — same measured win as
+        # the LSH band path (operators/minhash.py, detect tail -33%)
+        .where(F.col("n") >= 2)
         .persist()
     )
     if stats_out is not None:
