@@ -533,6 +533,19 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (functions/gopher.py, Rae et al. 2021 Table A1)
+    over every document: integer counts + per-rule booleans +
+    passes_gopher. Full value parity — the DuckDB twin is generated from
+    the SAME GOPHER_BOUNDS/GOPHER_STOPWORDS constants, and every threshold
+    is integer cross-multiplication so no float ever materializes."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.gopher import gopher_columns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = gopher_columns("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()]).orderBy("doc_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII masking (functions/pii.py): emails / IPv4 / phones planted
     deterministically over the documents table (``doc_id % 4`` variants —
@@ -1075,6 +1088,17 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of q_gopher_quality, generated from the same constants."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.gopher import (
+        gopher_columns_sql,
+    )
+
+    cols = gopher_columns_sql("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
 def _pii_scrub_oracle_sql() -> str:
     """DuckDB twin of q_pii_scrub: re-plants the PII variants and re-masks
     with the IDENTICAL pattern strings (functions/pii.py generates both
@@ -1306,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters_fast": q_minhash_clusters_fast,
         "dedup_corpus": q_dedup_corpus,
         "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
         "dedup_report": q_dedup_report,
         "source_dup_stats": q_source_dup_stats,
         "simhash_candidates": q_simhash_candidates,
@@ -1639,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk = 1
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "gopher_quality": _gopher_oracle_sql(),
         "dedup_report": f"""
             SELECT cluster_size, COUNT(*) AS n_clusters,
                    cluster_size * COUNT(*) AS n_docs

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "source_dup_stats",
     # round 5: PII masking (pure-Catalyst regexp chain over full doc text)
     "pii_scrub",
+    # round 5: Gopher quality rules (array lambdas over one tokenization)
+    "gopher_quality",
 ]
 
 
