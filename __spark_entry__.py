@@ -533,6 +533,28 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): the eval set
+    is synthesized deterministically — every ``doc_id % 50 == 0`` document
+    contributes a 26-token span (tokens 6..31) as a benchmark example — so
+    exactly the source docs (plus their planted exact copies, which share
+    the span verbatim) must be flagged on 13-gram overlap. String join keys
+    here so the DuckDB oracle replays the raw-string join verbatim; the
+    production ``hashed_keys=True`` (xxhash64) mode is pytest-asserted
+    pair-equal (tests/test_decontaminate.py)."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.text import tokens
+    from cs588_data_science_bug_duplicate_detector_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 6, 26)).alias("text"),
+    )
+    return contamination_report(docs, evals, n=13, hashed_keys=False).orderBy("doc_id")
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher quality rules (functions/gopher.py, Rae et al. 2021 Table A1)
     over every document: integer counts + per-rule booleans +
@@ -1331,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
+        "decontamination": q_decontamination,
         "dedup_report": q_dedup_report,
         "source_dup_stats": q_source_dup_stats,
         "simhash_candidates": q_simhash_candidates,
@@ -1665,6 +1688,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "gopher_quality": _gopher_oracle_sql(),
+        "decontamination": f"""
+            WITH dt AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+            ev AS (
+              SELECT doc_id AS eval_id, list_slice(t, 6, 31) AS et
+              FROM dt WHERE doc_id % 50 = 0
+            ),
+            eg AS (
+              SELECT DISTINCT eval_id, g FROM (
+                SELECT eval_id, CASE WHEN len(et) >= 13
+                  THEN list_transform(range(1, len(et) - 11),
+                                      i -> array_to_string(list_slice(et, i, i + 12), ' '))
+                  ELSE [] END AS gs
+                FROM ev
+              ), UNNEST(gs) AS u(g)
+            ),
+            dg AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id, list_distinct(CASE WHEN len(t) >= 13
+                  THEN list_transform(range(1, len(t) - 11),
+                                      i -> array_to_string(list_slice(t, i, i + 12), ' '))
+                  ELSE [] END) AS gs
+                FROM dt
+              ), UNNEST(gs) AS u(g)
+            )
+            SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams,
+                   COUNT(DISTINCT eval_id) AS n_eval_docs,
+                   MIN(eval_id) AS first_eval_id
+            FROM dg JOIN eg USING (g) GROUP BY doc_id
+        """,
         "dedup_report": f"""
             SELECT cluster_size, COUNT(*) AS n_clusters,
                    cluster_size * COUNT(*) AS n_docs

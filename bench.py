@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     # round 5: Gopher quality rules (array lambdas over one tokenization)
     "gopher_quality",
+    # round 5: benchmark decontamination (13-gram broadcast overlap)
+    "decontamination",
 ]
 
 
