@@ -533,6 +533,35 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_clean_text_docs(spark, sf_dir):
+    """Crawl-text normalization (functions/cleanup.py): NBSP / zero-width /
+    C0-control / newline-tower artifacts planted per ``doc_id % 5`` over
+    the documents table, normalized with the ordered regexp chain. Full
+    value parity: the DuckDB oracle re-plants (chr() codepoints) and
+    re-cleans with the twin generated from the SAME CLEANUP_STEPS, and
+    md5 over the ENTIRE cleaned text pins every byte."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.cleanup import (
+        chars_removed,
+        clean_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    _nbsp, _zwsp = chr(0x00A0), chr(0x200B)
+    planted = (
+        F.when(v == 0, F.concat(F.col("text"), F.lit(_nbsp + " padded" + _nbsp + "tail")))
+        .when(v == 1, F.concat(F.lit("pre" + _zwsp + "fix "), F.col("text")))
+        .when(v == 2, F.concat(F.col("text"), F.lit("\x07ctrl\x1ftail")))
+        .when(v == 3, F.concat(F.col("text"), F.lit("\n\n\n\n\ntail   \nend ")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        chars_removed(planted).alias("n_removed"),
+        F.md5(clean_text(planted)).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): the eval set
     is synthesized deterministically — every ``doc_id % 50 == 0`` document
@@ -1121,6 +1150,30 @@ def _gopher_oracle_sql() -> str:
     return f"SELECT doc_id, {sel} FROM documents"
 
 
+def _clean_text_oracle_sql() -> str:
+    """DuckDB twin of q_clean_text_docs: re-plants with chr() codepoints and
+    re-cleans with the twin generated from the same CLEANUP_STEPS."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.cleanup import (
+        chars_removed_sql,
+        clean_text_sql,
+    )
+
+    nl = "chr(10)"
+    plant = f"""
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN text || chr(160) || ' padded' || chr(160) || 'tail'
+          WHEN 1 THEN 'pre' || chr(8203) || 'fix ' || text
+          WHEN 2 THEN text || chr(7) || 'ctrl' || chr(31) || 'tail'
+          WHEN 3 THEN text || {nl} || {nl} || {nl} || {nl} || {nl} || 'tail   ' || {nl} || 'end '
+          ELSE text END
+    """
+    return f"""
+        SELECT doc_id, {chars_removed_sql('_pt')} AS n_removed,
+               md5({clean_text_sql('_pt')}) AS clean_md5
+        FROM (SELECT doc_id, {plant} AS _pt FROM documents)
+    """
+
+
 def _pii_scrub_oracle_sql() -> str:
     """DuckDB twin of q_pii_scrub: re-plants the PII variants and re-masks
     with the IDENTICAL pattern strings (functions/pii.py generates both
@@ -1354,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "decontamination": q_decontamination,
+        "clean_text_docs": q_clean_text_docs,
         "dedup_report": q_dedup_report,
         "source_dup_stats": q_source_dup_stats,
         "simhash_candidates": q_simhash_candidates,
@@ -1688,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle_sql(),
         "gopher_quality": _gopher_oracle_sql(),
+        "clean_text_docs": _clean_text_oracle_sql(),
         "decontamination": f"""
             WITH dt AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
             ev AS (

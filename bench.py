@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     # round 5: benchmark decontamination (13-gram broadcast overlap)
     "decontamination",
+    # round 5: crawl-text normalization (ordered regexp chain, full text)
+    "clean_text_docs",
 ]
 
 
