@@ -34,7 +34,7 @@ GOPHER_BOUNDS = {
     "max_words": 100_000,
     "min_mean_word_len": 3,   # 3 <= total_chars/n_words <= 10
     "max_mean_word_len": 10,
-    "symbol_ratio_x10": 1,    # (n_hash + n_ellipsis) / n_words < 0.1
+    "symbol_ratio_x10": 1,    # (n_hash + n_ellipsis) / n_words <= 0.1
     "bullet_ratio_x10": 1,    # bullet-start lines / lines <= 0.1
     "ellipsis_ratio_x10": 3,  # ellipsis-end lines / lines <= 0.3
     "alpha_ratio_x10": 8,     # words containing [A-Za-z] / words >= 0.8
@@ -98,7 +98,8 @@ def gopher_columns(col) -> dict[str, Column]:
         "r_mean_word_len": (total_chars >= b["min_mean_word_len"] * n_words)
         & (total_chars <= b["max_mean_word_len"] * n_words)
         & (n_words > 0),
-        "r_symbol_ratio": F.lit(10) * n_symbols < b["symbol_ratio_x10"] * n_words,
+        # Gopher filters docs with ratio > 0.1, so exactly-0.1 PASSES (<=)
+        "r_symbol_ratio": F.lit(10) * n_symbols <= b["symbol_ratio_x10"] * n_words,
         "r_bullet_lines": F.lit(10) * n_bullet_lines <= b["bullet_ratio_x10"] * n_lines,
         "r_ellipsis_lines": F.lit(10) * n_ellipsis_lines <= b["ellipsis_ratio_x10"] * n_lines,
         "r_alpha_words": F.lit(10) * n_alpha_words >= b["alpha_ratio_x10"] * n_words,
@@ -156,7 +157,7 @@ def gopher_columns_sql(expr: str) -> dict[str, str]:
         f" AND {cols['total_word_chars']} <= {b['max_mean_word_len']} * {cols['n_words']}"
         f" AND {cols['n_words']} > 0)"
     )
-    cols["r_symbol_ratio"] = f"(10 * {cols['n_symbols']} < {b['symbol_ratio_x10']} * {cols['n_words']})"
+    cols["r_symbol_ratio"] = f"(10 * {cols['n_symbols']} <= {b['symbol_ratio_x10']} * {cols['n_words']})"
     cols["r_bullet_lines"] = (
         f"(10 * {cols['n_bullet_lines']} <= {b['bullet_ratio_x10']} * {cols['n_lines']})"
     )

@@ -64,7 +64,10 @@ def pii_counts(col) -> dict[str, Column]:
     per family. Counted family-by-family on progressively-masked text so
     overlapping shapes (an IP inside a spaced phone candidate) are
     attributed exactly once, to the same family the masker gives them."""
-    cur = F.col(col) if isinstance(col, str) else col
+    # NULL text counts as zero PII spans (not NULL): a corpus audit must
+    # put NULL-text docs in the "0 findings" bucket, not drop them — same
+    # contract as cleanup.chars_removed and gopher_columns
+    cur = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     counts: dict[str, Column] = {}
     for fam in PII_FAMILIES:
         n = F.lit(0)
@@ -89,8 +92,9 @@ def mask_pii_sql(expr: str) -> str:
 
 
 def pii_counts_sql(expr: str) -> dict[str, str]:
-    """DuckDB twins of :func:`pii_counts` (same progressive masking)."""
-    cur = expr
+    """DuckDB twins of :func:`pii_counts` (same progressive masking, same
+    NULL-counts-as-zero contract)."""
+    cur = f"coalesce({expr}, '')"
     counts: dict[str, str] = {}
     for fam in PII_FAMILIES:
         terms = []

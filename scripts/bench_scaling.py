@@ -36,12 +36,7 @@ def ensure_corpus(n_docs: int) -> None:
         "overwrite"
     ).parquet(CORPUS)
     spark.stop()
-    # the overwrite replaced whatever size lived here before — a stale
-    # _GEN_<other_n> marker would otherwise vouch for data that is gone
-    import glob
-
-    for m in glob.glob(os.path.join(CORPUS, "_GEN_*")):
-        os.remove(m)
+    # overwrite mode already wiped the directory (stale markers included)
     open(marker, "w").close()
 
 

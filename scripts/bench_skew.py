@@ -31,7 +31,7 @@ SKEW_CORPUS = "/tmp/dupdetect_skew_corpus"
 
 
 def ensure_skew_corpus(n_docs: int, farm_frac: float, seed: int = 42) -> None:
-    marker = os.path.join(SKEW_CORPUS, f"_GEN_{n_docs}_{farm_frac}")
+    marker = os.path.join(SKEW_CORPUS, f"_GEN_{n_docs}_{farm_frac}_{seed}")
     if os.path.exists(marker):
         return
     from cs588_data_science_bug_duplicate_detector_spark.datagen import (
@@ -45,10 +45,7 @@ def ensure_skew_corpus(n_docs: int, farm_frac: float, seed: int = 42) -> None:
         "overwrite"
     ).parquet(SKEW_CORPUS)
     spark.stop()
-    import glob
-
-    for m in glob.glob(os.path.join(SKEW_CORPUS, "_GEN_*")):
-        os.remove(m)
+    # overwrite mode already wiped the directory (old markers included)
     open(marker, "w").close()
 
 
@@ -59,7 +56,16 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--skip-uniform", action="store_true",
                     help="reuse an existing uniform-corpus measurement instead of re-running")
+    ap.add_argument("--out", default="BENCH/skew.json",
+                    help="summary path (so a small smoke run doesn't clobber the 1M record)")
     args = ap.parse_args()
+
+    # heap must be sized BEFORE the first session: legs run in-process and
+    # the py4j JVM survives spark.stop(), so a later driver-memory conf is
+    # silently ignored (the subprocess-level fix in bench_scaling.run_pinned
+    # never applies here). 8g OOMs in the CC count at >=2M docs.
+    if args.docs >= 2_000_000:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
     stride = max(2, int(round(1.0 / args.farm_frac)))
     farm_size = (args.docs + stride - 1) // stride
@@ -83,7 +89,7 @@ def main() -> None:
         out["skew_slowdown"] = round(skew["sec"] / uniform["sec"], 3)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/skew.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 

@@ -13,7 +13,7 @@ from cs588_data_science_bug_duplicate_detector_spark.functions.gopher import (
 GOOD = (
     "the quick brown fox jumps over that lazy dog and we have fun with it "
     * 5
-)  # 70 words, normal lengths, stopwords present
+)  # 15 words x 5 = 75, normal lengths, stopwords present
 
 CASES = [
     # (text, failing_rule or None)
@@ -50,6 +50,19 @@ def test_each_rule_fails_its_case(spark):
         else:
             assert r[bad] is False, (text, bad, r)
             assert r["passes_gopher"] is False
+
+
+def test_symbol_ratio_boundary_passes(spark):
+    # Gopher removes docs with ratio > 0.1, so EXACTLY 0.1 must pass.
+    # '#' tokens count as words too: 54 words + 6 '#' -> 10*6 == 60 == n_words
+    base = ("tok " * 54).strip()
+    r = _report(spark, base + " # # # # # #")
+    assert r["n_words"] == 60 and r["n_symbols"] == 6
+    assert r["r_symbol_ratio"] is True
+    # one more symbol tips it over: 10*7 = 70 > 61
+    r2 = _report(spark, base + " # # # # # # #")
+    assert r2["n_words"] == 61 and r2["n_symbols"] == 7
+    assert r2["r_symbol_ratio"] is False
 
 
 def test_spark_duckdb_parity(spark):

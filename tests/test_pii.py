@@ -68,6 +68,17 @@ def test_spark_duckdb_byte_parity(spark):
     assert got_spark == got_duck
 
 
+def test_null_text_counts_zero_not_null(spark):
+    # a corpus audit must bucket NULL-text docs as "0 findings", not drop
+    # them (NULL would vanish from sum() rollups and both filter branches)
+    df = spark.createDataFrame([(None,)], "text string")
+    c = pii_counts("text")
+    row = df.select(
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p")
+    ).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (0, 0, 0)
+
+
 def test_counts_match_mask_effect(spark):
     text = "a@b.co then 10.0.0.1 then (555) 123-4567 and +4915123456789"
     df = spark.createDataFrame([(text,)], "text string")
