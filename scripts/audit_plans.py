@@ -50,7 +50,9 @@ def main() -> None:
         "3. the LSH pair self-join reuses the band-table exchange (co-partitioned)\n"
         "4. the only BroadcastNestedLoopJoin is the documented brute-force ANN baseline\n"
         "5. the incremental fold prunes the stored index (partition filter on inc,\n"
-        "   column-pruned signature scan) and semi-joins touched buckets BEFORE pairing\n\n"
+        "   column-pruned signature scan) and semi-joins touched buckets BEFORE pairing\n"
+        "6. the decontamination gram join is broadcast-only (the corpus gram side\n"
+        "   never shuffles for the join)\n\n"
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -127,6 +129,33 @@ def main() -> None:
         "```\nann_lsh_topk_allcorpus joins: " + "; ".join(allc_joins)
         + f"\nArrowEvalPython ops: {n_arrow}; row_number cap window present\n```\n\n"
     )
+
+    # 4b. decontamination: the eval gram table must BROADCAST (the corpus
+    # gram side streams through a map-side hash join — no shuffle of the
+    # 10^12-doc gram table), and no nested-loop/cartesian anywhere
+    from cs588_data_science_bug_duplicate_detector_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from cs588_data_science_bug_duplicate_detector_spark.functions.text import tokens as _toks
+
+    evals = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(_toks("text"), 6, 26)).alias("text"),
+    )
+    plan_dec = formatted_plan(contamination_report(docs, evals))
+    assert "BroadcastHashJoin" in plan_dec, plan_dec
+    assert "CartesianProduct" not in plan_dec and "BroadcastNestedLoopJoin" not in plan_dec
+    # the gram join itself must not be a shuffle join (broadcast only);
+    # aggregation exchanges after the join are expected and fine
+    dec_joins = [l.strip() for l in plan_dec.splitlines() if "Join" in l and "(" in l]
+    assert all("SortMergeJoin" not in j and "ShuffledHashJoin" not in j for j in dec_joins), dec_joins
+    out.write(
+        "## 4b. Decontamination (13-gram overlap vs broadcast eval set)\n\n"
+        "The eval gram table broadcasts; the corpus gram table streams through a\n"
+        "map-side BroadcastHashJoin — the 10^12-doc gram side never shuffles for\n"
+        "the join (only the small per-doc aggregation after it):\n\n"
+    )
+    out.write("```\n" + "; ".join(dec_joins[:3]) + "\n```\n\n")
 
     # 5. incremental fold: stored index pruned + touched-bucket semi-join
     import shutil
