@@ -628,6 +628,37 @@ def q_pii_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic hash split (functions/split.py): assignment is a pure
+    function of (doc_id, seed) — append-stable, engine-identical. Full
+    value parity per doc: the DuckDB twin compares the same md5-hex4
+    bucket against the same thresholds lexicographically."""
+    from cs588_data_science_bug_duplicate_detector_spark.functions.split import split_column
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id", split_column("doc_id", w, seed="r5").alias("split")
+    ).orderBy("doc_id")
+
+
+def q_dedup_keep2(spark, sf_dir):
+    """Bounded-duplication policy (operators/canonical.py
+    sample_per_cluster, k=2): RefinedWeb-style recipes keep a capped
+    number of near-copies so naturally-frequent pages stay upweighted
+    without a mirror farm dominating. rank==1 rows equal dedup_corpus."""
+    from cs588_data_science_bug_duplicate_detector_spark.operators.canonical import (
+        sample_per_cluster,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = _cached_labels(spark, sf_dir, "portable")
+    return sample_per_cluster(docs, labels, 2).select(
+        "cluster_id", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        "n_members", "rank",
+    )
+
+
 def q_dedup_report(spark, sf_dir):
     """Cluster-size histogram over the flagship labels — the "how much of
     the corpus is duplicated, at what sizes" rollup every production dedup
@@ -1139,6 +1170,15 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def _corpus_split_oracle_sql() -> str:
+    from cs588_data_science_bug_duplicate_detector_spark.functions.split import (
+        split_column_sql,
+    )
+
+    sql = split_column_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r5")
+    return f"SELECT doc_id, {sql} AS split FROM documents"
+
+
 def _gopher_oracle_sql() -> str:
     """DuckDB twin of q_gopher_quality, generated from the same constants."""
     from cs588_data_science_bug_duplicate_detector_spark.functions.gopher import (
@@ -1410,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_docs": q_clean_text_docs,
         "dedup_report": q_dedup_report,
         "source_dup_stats": q_source_dup_stats,
+        "corpus_split": q_corpus_split,
+        "dedup_keep2": q_dedup_keep2,
         "simhash_candidates": q_simhash_candidates,
         "simhash_candidates_fast": q_simhash_candidates_fast,
         "suffix_span_edges": q_suffix_span_edges,
@@ -1797,6 +1839,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_clusters,
                    SUM(CASE WHEN sz > 1 THEN n ELSE 0 END) * 1000000 // SUM(n) AS dup_ppm
             FROM per_sc GROUP BY source
+        """,
+        "corpus_split": _corpus_split_oracle_sql(),
+        "dedup_keep2": f"""
+            SELECT cluster_id, doc_id, n_chars, n_members, rank FROM (
+              SELECT l.cluster_id, l.doc_id, d.n_chars,
+                     COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                     row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id ASC) AS rank
+              FROM ({portable.minhash_clusters_sql(CFG)}) l
+              JOIN documents d ON d.doc_id = l.doc_id
+            ) WHERE rank <= 2
         """,
         "simhash_candidates": portable.simhash_candidates_sql(CFG),
         "suffix_span_edges": portable.suffix_span_edges_sql(SUFFIX_ORACLE_CFG),

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "decontamination",
     # round 5: crawl-text normalization (ordered regexp chain, full text)
     "clean_text_docs",
+    # round 5: deterministic hash split + bounded-duplication policy
+    "corpus_split",
+    "dedup_keep2",
 ]
 
 

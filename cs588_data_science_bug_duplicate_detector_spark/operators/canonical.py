@@ -53,3 +53,43 @@ def canonical_docs(
             F.col("_n").cast("long").alias("n_members"),
         )
     )
+
+
+def sample_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Up to ``k`` representatives per cluster (``canonical_docs`` is the
+    k=1 policy): (cluster_id, doc_id, <length_col>, n_members, rank).
+
+    Real pipelines don't always hard-dedup — RefinedWeb-style recipes keep
+    a bounded number of near-copies so naturally-frequent pages stay
+    upweighted without letting a mirror farm dominate. Ranking matches
+    ``canonical_docs`` exactly (longest text, min-id tie-break), so
+    ``rank == 1`` rows ARE the canonical corpus. Same plan shape: one
+    equi-join + one window pass, no groupBy round trip."""
+    joined = docs.select(id_col, length_col).join(
+        labels.select(id_col, cluster_col), id_col
+    )
+    w = Window.partitionBy(cluster_col)
+    ranked = (
+        joined.withColumn("_n", F.count("*").over(w))
+        .withColumn(
+            "_rk",
+            F.row_number().over(w.orderBy(F.desc(length_col), F.asc(id_col))),
+        )
+    )
+    return (
+        ranked.where(F.col("_rk") <= k)
+        .select(
+            cluster_col,
+            id_col,
+            length_col,
+            F.col("_n").cast("long").alias("n_members"),
+            F.col("_rk").cast("long").alias("rank"),
+        )
+    )
