@@ -31,31 +31,37 @@ def _thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     out, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name] / total
-        out.append((name, format(min(0xFFFF, int(round(cum * 0x10000))), "04x")))
-    out.append((names[-1], "ffff~"))  # '~' > 'f': unconditional catch-all
+        v = int(round(cum * 0x10000))
+        # cum == 1.0 must be UNCONDITIONAL ('g' > 'f' in every bucket), not
+        # capped to 'ffff' — capping leaked bucket 'ffff' (1/65536 of the
+        # corpus) into a zero-weight trailing split
+        out.append((name, format(v, "04x") if v <= 0xFFFF else "g"))
+    out.append((names[-1], "g"))  # unconditional catch-all
     return out
 
 
 def split_column(key_col, weights: dict[str, float], seed: str = "") -> Column:
     """String split-name column. ``weights`` preserves insertion order;
-    NULL keys get the last (catch-all) split deterministically."""
+    NULL keys get the LAST (catch-all) split — explicitly, not by hashing
+    an empty string (that would drop keyless docs into a seed-dependent
+    split, leaking them into train under some seeds)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    b = F.substring(
-        F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit(seed))), 1, 4
-    )
+    b = F.substring(F.md5(F.concat(key.cast("string"), F.lit(seed))), 1, 4)
     ths = _thresholds(weights)
-    expr = None
+    chain = None
     for name, bound in ths[:-1]:  # first matching (lowest) bound wins
         cond = b < F.lit(bound)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    return F.lit(ths[0][0]) if expr is None else expr.otherwise(F.lit(ths[-1][0]))
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    chain = F.lit(ths[0][0]) if chain is None else chain.otherwise(F.lit(ths[-1][0]))
+    return F.when(key.isNull(), F.lit(ths[-1][0])).otherwise(chain)
 
 
 def split_column_sql(expr: str, weights: dict[str, float], seed: str = "") -> str:
-    """DuckDB twin generated from the same thresholds."""
-    b = f"substr(md5(coalesce(CAST({expr} AS VARCHAR), '') || '{seed}'), 1, 4)"
+    """DuckDB twin generated from the same thresholds (same NULL contract)."""
+    b = f"substr(md5(CAST({expr} AS VARCHAR) || '{seed}'), 1, 4)"
     ths = _thresholds(weights)
+    null_when = f"WHEN {expr} IS NULL THEN '{ths[-1][0]}'"
     whens = " ".join(f"WHEN {b} < '{bound}' THEN '{name}'" for name, bound in ths[:-1])
     if not whens:
-        return f"'{ths[0][0]}'"
-    return f"(CASE {whens} ELSE '{ths[-1][0]}' END)"
+        return f"(CASE {null_when} ELSE '{ths[0][0]}' END)"
+    return f"(CASE {null_when} {whens} ELSE '{ths[-1][0]}' END)"

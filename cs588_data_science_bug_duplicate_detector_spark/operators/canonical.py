@@ -30,29 +30,13 @@ def canonical_docs(
     The representative maximizes ``length_col`` (ties -> min id). Clusters
     of size 1 pass through unchanged, so the output IS the deduped corpus
     keyed by its surviving doc.
+
+    Delegates to :func:`sample_per_cluster` with k=1 so the two policies
+    can never diverge on ranking or tie-break.
     """
-    joined = docs.select(id_col, length_col).join(
-        labels.select(id_col, cluster_col), id_col
-    )
-    w = Window.partitionBy(cluster_col)
-    ranked = (
-        joined.withColumn("_n", F.count("*").over(w))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                w.orderBy(F.desc(length_col), F.asc(id_col))
-            ),
-        )
-    )
-    return (
-        ranked.where(F.col("_rk") == 1)
-        .select(
-            cluster_col,
-            id_col,
-            length_col,
-            F.col("_n").cast("long").alias("n_members"),
-        )
-    )
+    return sample_per_cluster(
+        docs, labels, 1, id_col=id_col, cluster_col=cluster_col, length_col=length_col
+    ).drop("rank")
 
 
 def sample_per_cluster(

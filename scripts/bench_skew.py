@@ -88,7 +88,7 @@ def main() -> None:
         out["uniform"] = uniform
         out["skew_slowdown"] = round(skew["sec"] / uniform["sec"], 3)
 
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

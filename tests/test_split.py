@@ -57,10 +57,30 @@ def test_spark_duckdb_parity(spark):
     assert got_spark == got_duck
 
 
-def test_null_key_is_deterministic(spark):
+def test_null_key_gets_catch_all_split_under_any_seed(spark):
+    # contract: keyless docs are quarantined in the LAST split, never
+    # hashed into a seed-dependent one (a leak into train otherwise)
     df = spark.createDataFrame([(None,), (None,)], "doc_id long")
-    got = {r["split"] for r in df.select(split_column("doc_id", W).alias("split")).collect()}
-    assert len(got) == 1  # both NULLs land in the same split
+    for seed in ("", "s1", "v2", "r5"):
+        got = {
+            r["split"]
+            for r in df.select(split_column("doc_id", W, seed).alias("split")).collect()
+        }
+        assert got == {"test"}, seed
+
+
+def test_zero_weight_split_gets_nothing(spark):
+    # cum == 1.0 must be an unconditional bound: bucket 'ffff' used to leak
+    # into the zero-weight trailing split
+    df = spark.range(70000).select(F.col("id").alias("doc_id"))
+    w = {"train": 1.0, "holdout": 0.0}
+    counts = (
+        df.select(split_column("doc_id", w).alias("split"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert {r["split"]: r["count"] for r in counts} == {"train": 70000}
 
 
 def test_sample_per_cluster_k1_equals_canonical(spark):
