@@ -27,7 +27,10 @@ from cs588_data_science_bug_duplicate_detector_spark.functions.text import (
 from cs588_data_science_bug_duplicate_detector_spark.operators import exact as exact_ops
 from cs588_data_science_bug_duplicate_detector_spark.operators.ann import brute_force_topk, lsh_topk
 from cs588_data_science_bug_duplicate_detector_spark.operators.cc import connected_components
-from cs588_data_science_bug_duplicate_detector_spark.operators.metrics import retrieval_metrics
+from cs588_data_science_bug_duplicate_detector_spark.operators.metrics import (
+    retrieval_metrics,
+    retrieval_metrics_1d,
+)
 from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import (
     minhash_edges_from_sigs,
     release_cached_deps,
@@ -276,8 +279,16 @@ def _retrieval_pairs(docs):
 
 
 def q_retrieval_metrics(spark, sf_dir):
+    """Same result as ``retrieval_metrics(_retrieval_pairs(docs), K_VALUES)``
+    — the oracle SQL and the pair semantics are unchanged — computed by the
+    1-D kernel (operators/metrics.py retrieval_metrics_1d): score
+    1/(1+|Δn_chars|) within lang is a monotone function of an integer
+    distance, so per-query top-k and first-relevant rank come from sorted
+    per-lang arrays in O(n·k) instead of the O(n²) all-pairs join (500M
+    rows at sf1.0). Equivalence is pytest-gated against the all-pairs path
+    (tests/test_metrics_1d.py) and oracle-checked at every sf."""
     docs = _t(spark, sf_dir, "documents")
-    m = retrieval_metrics(_retrieval_pairs(docs), K_VALUES)
+    m = retrieval_metrics_1d(docs, K_VALUES)
     return m.select(
         F.col("k").cast("long").alias("k"),
         F.round("recall_at_k", 6).alias("recall_at_k"),
