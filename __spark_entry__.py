@@ -56,6 +56,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a scan whose input cannot split (guide §2.5 "input
+    skew": the driver's parquet files are single-row-group, so every scan
+    is ONE task and any Arrow-UDF / expression-heavy phase directly on top
+    of it runs on a single core). Round-robin repartition to the default
+    parallelism — a few MB of shuffle buys a 32x wider compute stage.
+    Gated on the actual scan partition count, so at production scale
+    (many files / many row groups) this is a no-op instead of a
+    full-corpus shuffle."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(p) if cur < p else df
+
+
 def _harden(spark: SparkSession) -> None:
     """Session-safe confs for externally-provided sessions: Spark 4.1's
     Union.rewriteConstraints intermittently fails ("key not found: <attr>")
@@ -75,7 +93,7 @@ def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash flagship: md5-MinHash signatures (pure Catalyst) ->
     production banding/cap/verify operators -> union exact-dup edges ->
     iterative CC. DuckDB reproduces the whole thing (portable.minhash_clusters_sql)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = portable.with_portable_minhash(
         docs.select("doc_id", "text"), "text", CFG
     ).select("doc_id", "minhash")
@@ -99,7 +117,7 @@ def _fast_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``_dedup_labels``."""
     from cs588_data_science_bug_duplicate_detector_spark.operators.minhash import minhash_edges
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     mh, _hot = minhash_edges(docs, "doc_id", "text", CFG)
     edges = mh.unionByName(exact_ops.exact_dup_edges(docs, "doc_id", "text"))
     labels = connected_components(edges, vertices=docs.select("doc_id")).select(
@@ -339,7 +357,7 @@ def q_events_rollup(spark, sf_dir):
 
 
 def q_lang_guess_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return (
         docs.withColumn("guessed_lang", language_guess("text"))
         .groupBy("lang", "guessed_lang")
@@ -409,7 +427,7 @@ def q_doc_repetition_stats(spark, sf_dir):
 
 
 def q_embedding_knn(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 50)
     topk = brute_force_topk(emb, "vec_id", "embedding", k=3, queries=queries)
     return topk.select(
@@ -482,7 +500,7 @@ def q_ann_lsh_topk_allcorpus(spark, sf_dir):
     bounds a degenerate bucket (round-3 verdict "What's wrong #2") is
     itself oracle-checked here (portable.ann_lsh_allcorpus_sql replays the
     id-ranked cap with a row_number window)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     topk = lsh_topk(
         emb, "vec_id", "embedding", k=3, n_bits=6, n_tables=2, seed=42,
         queries=None, bucket_cap=8,
@@ -501,7 +519,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     (operators/ivf.py)."""
     from cs588_data_science_bug_duplicate_detector_spark.operators.ivf import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     topk = ivf_topk(
         emb, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4,
         queries=emb.where(F.col("vec_id") < 50), sample_hash="md5",
@@ -587,7 +605,7 @@ def q_decontamination(spark, sf_dir):
         contamination_report,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     evals = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
         F.col("doc_id").alias("eval_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 6, 26)).alias("text"),
@@ -698,7 +716,7 @@ def q_source_dup_stats(spark, sf_dir):
 
 
 def q_simhash_candidates(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = portable.with_portable_simhash(
         docs.select("doc_id", "text"), "text"
     ).select("doc_id", "simhash")
@@ -711,7 +729,7 @@ def q_simhash_candidates(spark, sf_dir):
 
 
 def q_suffix_span_edges(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return suffix_edges(docs, "doc_id", "text", SUFFIX_ORACLE_CFG).orderBy("src", "dst")
 
 
@@ -721,7 +739,7 @@ def q_suffix_span_edges_fast(spark, sf_dir):
     selection is not SQL-expressible); span recall for both anchor modes
     is pytest-gated on planted long-span pairs (tests/test_portable.py,
     tests/test_suffix.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return suffix_edges(docs, "doc_id", "text", CFG).orderBy("src", "dst")
 
 
@@ -733,7 +751,7 @@ def q_simhash_candidates_fast(spark, sf_dir):
     tests/test_portable.py)."""
     from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sigs = with_simhash(docs.select("doc_id", "text"), "text").select("doc_id", "simhash")
     edges = simhash_edges_from_sigs(sigs, "doc_id", CFG)
     out = edges.localCheckpoint(eager=True)
@@ -1324,7 +1342,7 @@ def q_detector_parity(spark, sf_dir):
     """
     from cs588_data_science_bug_duplicate_detector_spark.operators.simhash import with_simhash
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = []
 
     # --- minhash: whole-corpus label partition equality --------------------

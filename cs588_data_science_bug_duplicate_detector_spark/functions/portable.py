@@ -84,17 +84,51 @@ def perms31(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
 
 def _md5_ints(flat: np.ndarray, start: int, length: int) -> np.ndarray:
     """int64 value of md5-hex[start:start+length] per string — the portable
-    hash both engines evaluate (DuckDB: CAST('0x'||substr(md5(s),..) AS BIGINT))."""
+    hash both engines evaluate (DuckDB: CAST('0x'||substr(md5(s),..) AS BIGINT)).
+
+    Round-6 kernel notes (values unchanged, pytest/oracle-gated):
+    - hex[start:start+length] for even start/length is a byte-aligned slice
+      of the raw digest — int.from_bytes over digest() skips the hexdigest
+      string build and the int(hex, 16) parse (~2x per hash);
+    - repeated strings (natural-text tokens repeat heavily; duplicate docs
+      repeat whole shingle runs) are hashed ONCE via factorize + gather.
+    """
+    assert start % 2 == 0 and length % 2 == 0, "hex slice must be byte-aligned"
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64)
+    codes, uniq = pd.factorize(pd.Series(flat, dtype=object), use_na_sentinel=False)
+    a, b = start // 2, (start + length) // 2
     md5 = hashlib.md5
-    return np.fromiter(
-        (int(md5(s.encode("utf-8")).hexdigest()[start : start + length], 16) for s in flat),
+    vals = np.fromiter(
+        (
+            int.from_bytes(md5(s.encode("utf-8")).digest()[a:b], "big")
+            for s in uniq
+        ),
         dtype=np.int64,
-        count=len(flat),
+        count=len(uniq),
     )
+    return vals[codes]
+
+
+def _md5_h64(flat: np.ndarray) -> np.ndarray:
+    """uint64 of the first 8 md5-digest bytes (big-endian) per string —
+    exactly (hex[0:8] << 32) | hex[8:16], the portable 64-bit token hash —
+    in ONE digest pass per distinct string (factorize + gather)."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    codes, uniq = pd.factorize(pd.Series(flat, dtype=object), use_na_sentinel=False)
+    md5 = hashlib.md5
+    vals = np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") for s in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[codes]
 
 
 def portable_minhash_signatures(
-    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray
+    texts: pd.Series, shingle_k: int, a: np.ndarray, b: np.ndarray,
+    token_lists: pd.Series | None = None,
 ) -> np.ndarray:
     """(n_docs, num_perm) int64 portable-MinHash matrix: md5-derived 31-bit
     shingle hashes + (a*h+b) mod P31 slot mins (products < 2^62: identical
@@ -103,15 +137,33 @@ def portable_minhash_signatures(
     Same shingle segmentation as the production kernel
     (hashing._segments): short docs -> one whole-doc shingle, empty -> ''.
     """
-    token_lists = hashing.tokenize_series(texts)
+    if token_lists is None:
+        token_lists = hashing.tokenize_series(texts)
     if len(token_lists) == 0:
         return np.empty((0, len(a)), dtype=np.int64)
     flat, offsets = hashing._segments(token_lists, shingle_k)
     h = _md5_ints(flat, 0, 8) % P31
-    out = np.empty((len(token_lists), len(a)), dtype=np.int64)
-    for j in range(len(a)):
-        v = (a[j] * h + b[j]) % P31
-        out[:, j] = np.minimum.reduceat(v, offsets)
+    n_docs = len(token_lists)
+    num_perm = len(a)
+    out = np.empty((n_docs, num_perm), dtype=np.int64)
+    # blocked permutation reduce (same shape as hashing._blocked_minhash_reduce,
+    # same rationale: the unblocked loop re-streams the full shingle-hash
+    # array from DRAM once per permutation; blocking keeps the per-block
+    # slice L2-resident across all 128 passes. Values are bit-identical —
+    # blocks split only BETWEEN docs.
+    n = len(h)
+    start_doc = 0
+    while start_doc < n_docs:
+        lo = int(offsets[start_doc])
+        end_doc = int(np.searchsorted(offsets, lo + hashing._REDUCE_BLOCK, side="left"))
+        end_doc = max(end_doc, start_doc + 1)
+        hi = int(offsets[end_doc]) if end_doc < n_docs else n
+        hc = h[lo:hi]
+        offs = offsets[start_doc:end_doc] - lo
+        for j in range(num_perm):
+            v = (a[j] * hc + b[j]) % P31
+            out[start_doc:end_doc, j] = np.minimum.reduceat(v, offs)
+        start_doc = end_doc
     return out
 
 
@@ -131,11 +183,12 @@ def with_portable_minhash(
     k = cfg.shingle_k
 
     def _f(texts: pd.Series) -> pd.Series:
-        out = pd.Series(list(portable_minhash_signatures(texts, k, a, b)))
+        toks = hashing.tokenize_series(texts)  # ONE tokenization per batch
+        out = pd.Series(list(portable_minhash_signatures(texts, k, a, b, token_lists=toks)))
         # zero-token docs: NULL signature (same exclusion as the production
         # kernel — content-less docs are never candidates); the oracle SQL
         # mirrors this with WHERE len(toks) >= 1
-        out[hashing.tokenize_series(texts).str.len() == 0] = None
+        out[toks.str.len() == 0] = None
         return out
 
     return df.withColumn(out_col, pandas_udf(_f, ArrayType(LongType()))(F.col(text_col)))
@@ -165,17 +218,13 @@ def portable_simhash_signatures(texts: pd.Series) -> np.ndarray:
     if n > 1:
         np.cumsum(counts[:-1], out=offsets[1:])
     arr = np.asarray(flat, dtype=object)
-    hi = _md5_ints(arr, 0, 8).astype(np.uint64)
-    lo = _md5_ints(arr, 8, 8).astype(np.uint64)
-    h64 = (hi << np.uint64(32)) | lo
-    bits = np.unpackbits(h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    ones = np.empty((n, 64), dtype=np.int64)
-    for i in range(n):
-        ones[i] = bits[offsets[i] : offsets[i] + counts[i]].sum(axis=0)
-    majority = (2 * ones) > counts[:, None]
-    shifts = np.arange(64, dtype=np.uint64)
-    sig = (majority.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
-    return sig.view(np.int64)
+    # ONE md5 digest pass per distinct token (hex[0:8] = digest[0:4],
+    # hex[8:16] = digest[4:8], so h64 = first 8 digest bytes big-endian);
+    # then the production kernel's blocked unpackbits/majority machinery,
+    # which is bit-identical to the per-doc .sum loop it replaces (the
+    # segment contract matches: every doc here contributes counts >= 1).
+    h64 = _md5_h64(arr)
+    return hashing.simhash_signatures(texts, token_flats=(h64, counts, offsets))
 
 
 @pandas_udf(LongType())
