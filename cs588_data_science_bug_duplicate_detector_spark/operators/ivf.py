@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
-from .ann import _as_double, cosine_col
+from .ann import _as_double, cosine_batch, cosine_col
 
 
 def _sample_centroids(base: DataFrame, n_centroids: int, sample_hash: str) -> np.ndarray:
@@ -187,7 +187,7 @@ def ivf_topk(
     cand = (
         qprobe.join(inv, "cid")
         .where(F.col("query_id") != F.col("nid"))
-        .withColumn("score", cosine_col(F.col("qvec"), F.col("nvec")))
+        .withColumn("score", cosine_batch(F.col("qvec"), F.col("nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nid"))
     return (

@@ -305,6 +305,12 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     ~3 extra stage barriers per run; per-phase profiling showed those
     fixed costs were the main drag on N->4N scaling efficiency.)
     """
+    # Persist the signature table: it feeds THREE plan branches (band
+    # explode + the two verify joins), and without a persist each branch
+    # re-runs the Arrow signature UDF over the full corpus — the most
+    # expensive per-row work in the detector, paid 3x instead of 1x.
+    # Released with the other deps via release_cached_deps.
+    sigs = sigs.persist()
     bands = band_table(sigs, id_col, cfg, string_keys=string_keys)
     if num_partitions:
         bands = bands.repartition(num_partitions, "band_key")
@@ -363,7 +369,7 @@ def minhash_edges_from_sigs(sigs: DataFrame, id_col: str, cfg: DedupConfig,
     verified = verify_pairs(
         ambiguous.unionByName(star), sigs, id_col, cfg
     ).select("src", "dst")
-    edges = _attach_deps(auto.unionByName(verified).distinct(), [bw, pairs])
+    edges = _attach_deps(auto.unionByName(verified).distinct(), [sigs, bw, pairs])
     return edges, hot
 
 
