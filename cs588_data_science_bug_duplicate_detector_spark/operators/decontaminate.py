@@ -23,12 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram import ngram_col
+from .ngram import ngram_udf
 
 
 def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool,
                 out_id: str) -> DataFrame:
-    g = F.explode(ngram_col(text_col, n)).alias("gram")
+    g = F.explode(ngram_udf(n)(F.col(text_col))).alias("gram")
     t = df.select(F.col(id_col).alias(out_id), g)
     if hashed:
         t = t.select(out_id, F.xxhash64("gram").alias("gram"))

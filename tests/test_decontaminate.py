@@ -53,3 +53,36 @@ def test_no_eval_overlap_empty_report(spark):
     docs, _ = _frames(spark)
     evals = spark.createDataFrame([(9, "nothing shared here at all")], "eval_id long, text string")
     assert contamination_report(docs, evals).count() == 0
+
+
+def test_ngram_udf_matches_ngram_col(spark):
+    """The round-6 Arrow gram builder must emit exactly the JVM
+    expression's distinct grams (same tokenization, same first-occurrence
+    order as array_distinct) — it feeds both this module and
+    ngram_jaccard_pairs."""
+    from pyspark.sql import functions as F
+
+    from cs588_data_science_bug_duplicate_detector_spark.operators.ngram import (
+        ngram_col,
+        ngram_udf,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat the cat sat"),
+        (1, "a b"),                      # shorter than n
+        (2, None),                       # NULL text
+        (3, ""),                         # empty
+        (4, "X  y!!z xY z 9 x y z x y"),  # punctuation + case + repeats
+        (5, "uno dos tres cuatro cinco seis"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 13):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select("doc_id", ngram_udf(n)(F.col("text")).alias("g")).collect()
+        }
+        want = {
+            r["doc_id"]: r["g"]
+            for r in df.select("doc_id", ngram_col("text", n).alias("g")).collect()
+        }
+        assert got == want, (n, got, want)
