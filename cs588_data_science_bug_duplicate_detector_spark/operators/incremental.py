@@ -423,6 +423,7 @@ class DedupIndex:
     def signatures(self, spark: SparkSession, upto: int | None = None) -> DataFrame:
         """All stored (id, minhash, simhash, text_md5); ``upto`` bounds the
         increment index (exclusive) via partition pruning on ``inc``."""
+        self._recover_compaction()
         df = spark.read.option("basePath", os.path.join(self.root, "sigs")).parquet(
             os.path.join(self.root, "sigs")
         )
@@ -448,11 +449,19 @@ class DedupIndex:
         count; the ``inc < n`` partition filter still admits the merged
         dir). Returns the number of directories merged away.
 
-        The swap is staged (full parquet write incl. _SUCCESS before any
-        delete); on a posix filesystem the rename is atomic. On an object
-        store, run compaction from a single maintenance job — concurrent
-        folds during the swap window would read a partial index.
+        Crash contract (round-6 fix of the round-5 ADVICE finding): the
+        delete/swap is WRITE-AHEAD LOGGED in meta.json. The staged merge
+        is fully written (incl. _SUCCESS) BEFORE the intent is recorded,
+        and only after the atomic intent write do source dirs go away —
+        so a crash at ANY point leaves either (a) the original dirs
+        intact (intent absent: the staged dir is garbage and is swept),
+        or (b) a recorded intent that ``_recover_compaction`` — run at
+        the top of every read/write entry point — finishes
+        idempotently. A partial signature index is never readable.
+        On an object store, still run compaction from a single
+        maintenance job — renames are not atomic there.
         """
+        self._recover_compaction()
         meta = self.meta()
         n = meta["n_increments"]
         existing = [
@@ -460,16 +469,62 @@ class DedupIndex:
         ]
         if len(existing) <= 1:
             return 0
-        staged = os.path.join(self.root, "sigs_compact_tmp")
+        staged = self._staged_dir
         shutil.rmtree(staged, ignore_errors=True)
         df = self.signatures(spark, upto=n)
         if target_partitions:
             df = df.repartition(target_partitions)
         df.write.mode("overwrite").parquet(staged)
-        for i in existing:
-            shutil.rmtree(self._sig_dir(i), ignore_errors=True)
-        os.replace(staged, self._sig_dir(0))
+        # WAL intent: the staged copy is complete; from here the swap can
+        # always be finished (or re-finished) by _recover_compaction
+        meta["compact"] = {"merged": existing}
+        self._write_meta(meta)
+        self._finish_compaction(meta)
         return len(existing) - 1
+
+    @property
+    def _staged_dir(self) -> str:
+        return os.path.join(self.root, "sigs_compact_tmp")
+
+    def _finish_compaction(self, meta: dict) -> None:
+        """Complete a WAL-logged compaction: delete merged source dirs,
+        swap the staged merge in as inc=0, clear the intent. Idempotent —
+        safe to re-run from any crash point after the intent write."""
+        staged = self._staged_dir
+        merged = meta["compact"]["merged"]
+        if os.path.exists(os.path.join(staged, "_SUCCESS")):
+            for i in merged:
+                if i != 0:
+                    shutil.rmtree(self._sig_dir(i), ignore_errors=True)
+            # inc=0 goes last, immediately before the swap, so the staged
+            # copy (still intact) always covers a crash in between
+            shutil.rmtree(self._sig_dir(0), ignore_errors=True)
+            os.replace(staged, self._sig_dir(0))
+        elif os.path.isdir(staged):
+            raise RuntimeError(
+                f"compaction staging dir {staged} exists without _SUCCESS "
+                "while a compaction intent is recorded — refusing to guess; "
+                "inspect the index manually"
+            )
+        else:
+            # staged dir already swapped in (crash landed after os.replace,
+            # before the intent clear): only stray source dirs remain
+            for i in merged:
+                if i != 0:
+                    shutil.rmtree(self._sig_dir(i), ignore_errors=True)
+        meta.pop("compact", None)
+        self._write_meta(meta)
+
+    def _recover_compaction(self) -> None:
+        """Finish (or roll back) an interrupted compact(). Intent absent:
+        any staged dir is pre-intent garbage — remove it, sources are
+        untouched. Intent present: the staged copy was complete when the
+        intent was recorded, so finishing is always safe."""
+        meta = self.meta()
+        if meta.get("compact"):
+            self._finish_compaction(meta)
+        else:
+            shutil.rmtree(self._staged_dir, ignore_errors=True)
 
     # --- the one write path ---
     def add_increment(self, docs: DataFrame, id_col: str, text_col: str,
@@ -489,6 +544,7 @@ class DedupIndex:
         """
         cc_kwargs = cc_kwargs or {}
         spark = docs.sparkSession
+        self._recover_compaction()
         meta = self.meta()
         if meta["cfg_fp"] != self.cfg.fingerprint():
             raise ValueError(

@@ -347,7 +347,13 @@ def verified_edges_sink(
         )
         verified = verify_pairs(checkable, sig_df, id_col, cfg)
         (
+            # the same (src, dst) star edge can arrive from two band buckets
+            # in one micro-batch; the batch path applies .distinct(), so the
+            # edge log must too or its counts inflate for log consumers
+            # (round-5 ADVICE) — est_jaccard is a pure function of the pair,
+            # so (src, dst) dedup alone is exact
             verified.unionByName(unverifiable)
+            .dropDuplicates(["src", "dst"])
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -198,3 +198,61 @@ def test_index_guards(spark, tmp_path):
     # duplicate doc ids across increments refuse (labels can't cover them)
     with pytest.raises(ValueError, match="duplicate doc ids"):
         idx.add_increment(docs, "doc_id", "text")
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """Round-6 crash contract: compaction is WAL-logged in meta.json, so a
+    crash at any point after the intent write leaves an index that the
+    next entry point (signatures/add_increment/compact) finishes
+    idempotently — a partial signature index is never readable."""
+    import json
+    import os
+    import shutil
+
+    cfg = DedupConfig()
+    rows = [(i, f"document number {i} body words {' '.join(str(j) for j in range(i % 7 + 5))}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "idx")
+    idx = DedupIndex(root, cfg)
+    for i in range(3):
+        idx.add_increment(docs.where(F.col("doc_id") % 4 == i), "doc_id", "text")
+    before = idx.signatures(spark).orderBy("id").collect()
+
+    # simulate a crash mid-compaction: staged merge fully written + intent
+    # recorded + ONE source dir already deleted, swap never ran
+    staged = idx._staged_dir
+    idx.signatures(spark, upto=3).write.mode("overwrite").parquet(staged)
+    meta = idx.meta()
+    meta["compact"] = {"merged": [0, 1, 2]}
+    idx._write_meta(meta)
+    shutil.rmtree(idx._sig_dir(1))
+
+    # any entry point must first finish the compaction, then read a FULL index
+    assert idx.signatures(spark).orderBy("id").collect() == before
+    assert "compact" not in idx.meta()
+    assert sorted(os.listdir(tmp_path / "idx" / "sigs")) == ["inc=0"]
+    assert not os.path.isdir(staged)
+
+    # crash BEFORE the intent write (staged garbage only): sources untouched,
+    # staged is swept, signatures unchanged
+    os.makedirs(os.path.join(staged, "junk"))
+    assert idx.signatures(spark).orderBy("id").collect() == before
+    assert not os.path.isdir(staged)
+
+    # a staged dir without _SUCCESS while an intent exists is corruption ->
+    # loud refusal, not a guess
+    os.makedirs(staged)
+    meta = idx.meta()
+    meta["compact"] = {"merged": [0]}
+    idx._write_meta(meta)
+    with pytest.raises(RuntimeError, match="without _SUCCESS"):
+        idx.signatures(spark)
+    shutil.rmtree(staged)
+    meta = idx.meta()
+    meta.pop("compact")
+    idx._write_meta(meta)
+
+    # and folds after a recovered compaction still equal the batch run
+    labels = idx.add_increment(docs.where(F.col("doc_id") % 4 == 3), "doc_id", "text")
+    _assert_labels_equal(labels, _batch_labels(docs, cfg))
