@@ -119,17 +119,40 @@ def connected_components(
     # and silently recompute the whole upstream detect pipeline per round
     # (measured: 43s vs 2.6s for round 0 at 400k docs).
     e, prev = _ckpt_with_summary(init)
+    # Size the loop's shuffle width to the ACTUAL edge count (known from
+    # the init summary): the localCheckpoint materialization bypasses
+    # AQE's partition coalescing, so a small edge set otherwise schedules
+    # the session default (2x cores) of near-empty tasks per exchange,
+    # 4-6 exchanges per round — pure fixed latency in the serial section.
+    # Only ever LOWERS toward 8 for small inputs; at production edge
+    # volumes the session setting stands untouched. Restored after the
+    # loop (session conf is shared state).
+    sess = edges.sparkSession
+    prev_sp = sess.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        default_sp = int(prev_sp) if prev_sp else 200
+    except ValueError:
+        default_sp = 200
+    loop_sp = min(default_sp, max(8, (prev[0] // 2_000_000) + 1))
     converged = False
-    for it in range(max_iter):
-        e_next, cur = _ckpt_with_summary(_small_star(_large_star(e)))
-        if on_iteration is not None:
-            on_iteration(it, cur[0])
-        e.unpersist()
-        e = e_next
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    try:
+        if loop_sp < default_sp:
+            sess.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        for it in range(max_iter):
+            e_next, cur = _ckpt_with_summary(_small_star(_large_star(e)))
+            if on_iteration is not None:
+                on_iteration(it, cur[0])
+            e.unpersist()
+            e = e_next
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    finally:
+        if prev_sp is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        else:
+            sess.conf.unset("spark.sql.shuffle.partitions")
 
     if reliable and checkpoint_dir is not None:
         # restore the caller's global setting; if there was none, point at

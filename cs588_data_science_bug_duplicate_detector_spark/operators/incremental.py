@@ -59,9 +59,14 @@ the previously-verified member<->member edges through the carried
 labels. The fold therefore preserves AT LEAST the connectivity of the
 batch run's verify outcomes — it can only differ by keeping old true
 positives the batch cap would have truncated (the batch path documents
-the same recall trade for its own caps). On corpora where verify
-outcomes are homogeneous per bucket — including every tested config and
-the driver corpus — the partitions are exactly equal.
+the same recall trade for its own caps). On corpora where no bucket
+crosses a cap between folds — including the pytest fixtures and the
+driver's sf0.001/sf0.01 corpora — the partitions are exactly equal.
+Observed boundary case (round 6): at sf0.1 ONE simhash chunk bucket
+(131 members vs chunk_cap=128) crosses the cap across increments, and
+the fold keeps one true Hamming<=3 pair (doc 4113) that the batch
+star-cap drops — exactly the declared direction (fold ⊇ batch
+connectivity, extra edge is a verified true positive).
 """
 
 from __future__ import annotations

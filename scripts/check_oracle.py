@@ -34,6 +34,9 @@ def main(sf_dir: str, only: list[str]):
     spark = get_spark("oracle-check", cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # the recursive-CTE oracles at sf0.1 exceed DuckDB's conservative
+    # default memory limit when Spark shares the box; give the oracle room
+    con.execute("SET memory_limit='40GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = entrymod.queries()
