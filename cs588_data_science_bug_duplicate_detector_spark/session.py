@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1): skips the per-partition sorts on
+        # the detector verify/label joins — measured ~5-10% off every
+        # join-heavy query at sf1.0, no query slower. Scale-safe: this is
+        # a PREFERENCE, not a hint — the planner still requires the build
+        # side to fit its local-hash-map bound, so large production joins
+        # keep sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4.1: Union.rewriteConstraints intermittently throws
